@@ -1,0 +1,246 @@
+"""tpubwa command line — drop-in bwa-compatible flags
+(main.c subcommand dispatch + fastmap.c:main_mem option table;
+SURVEY.md §2 rows 1-2, §5.6)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+from . import __version__
+from .index.fmindex import FMIndex
+from .io.fastq import FastqReader, read_fastq_batch
+from .opts import (MEM_F_ALL, MEM_F_NOPAIRING, MEM_F_NO_MULTI,
+                   MEM_F_NO_RESCUE, MEM_F_PE, MEM_F_SMARTPE,
+                   MEM_F_SOFTCLIP, MemOpt, preset)
+
+log = logging.getLogger("tpubwa")
+
+
+def load_index(prefix: str) -> FMIndex:
+    """bwa_idx_load equivalent: prefer our npz, fall back to stock bwa
+    index files (bwa.c:~260)."""
+    import os
+    if os.path.exists(prefix + ".tpubwa.npz"):
+        return FMIndex.load(prefix)
+    if os.path.exists(prefix + ".bwt"):
+        return FMIndex.load_bwa(prefix)
+    raise FileNotFoundError(f"no index found at {prefix}[.tpubwa.npz|.bwt]")
+
+
+def main_index(argv) -> int:
+    ap = argparse.ArgumentParser(prog="tpubwa index")
+    ap.add_argument("-p", dest="prefix", default=None,
+                    help="index name prefix")
+    ap.add_argument("--bwa-compat", action="store_true",
+                    help="also write stock-bwa .pac/.ann/.amb/.bwt/.sa")
+    ap.add_argument("fasta")
+    args = ap.parse_args(argv)
+    prefix = args.prefix or args.fasta
+    t0 = time.time()
+    fmi = FMIndex.from_fasta(args.fasta)
+    fmi.save(prefix)
+    if args.bwa_compat:
+        fmi.save_bwa(prefix)
+    log.info("[index] %d bp, %d sequences, %.2f s", fmi.bnt.l_pac,
+             len(fmi.bnt.anns), time.time() - t0)
+    return 0
+
+
+def _add_mem_opts(ap: argparse.ArgumentParser) -> None:
+    ap.add_argument("-t", type=int, default=1, dest="n_threads")
+    ap.add_argument("-k", type=int, default=19, dest="min_seed_len")
+    ap.add_argument("-w", type=int, default=100, dest="band_width")
+    ap.add_argument("-d", type=int, default=100, dest="zdrop")
+    ap.add_argument("-r", type=float, default=1.5, dest="split_factor")
+    ap.add_argument("-y", type=int, default=20, dest="max_mem_intv")
+    ap.add_argument("-c", type=int, default=500, dest="max_occ")
+    ap.add_argument("-D", type=float, default=0.50, dest="drop_ratio")
+    ap.add_argument("-W", type=int, default=0, dest="min_chain_weight")
+    ap.add_argument("-m", type=int, default=50, dest="max_matesw")
+    ap.add_argument("-S", action="store_true", dest="skip_matesw")
+    ap.add_argument("-P", action="store_true", dest="skip_pairing")
+    ap.add_argument("-A", type=int, default=1, dest="match")
+    ap.add_argument("-B", type=int, default=4, dest="mismatch")
+    ap.add_argument("-O", default="6,6", dest="gap_open")
+    ap.add_argument("-E", default="1,1", dest="gap_ext")
+    ap.add_argument("-L", default="5,5", dest="clip_pen")
+    ap.add_argument("-U", type=int, default=17, dest="pen_unpaired")
+    ap.add_argument("-x", default=None, dest="preset")
+    ap.add_argument("-p", action="store_true", dest="smart_pairing")
+    ap.add_argument("-R", default=None, dest="rg_line")
+    ap.add_argument("-T", type=int, default=30, dest="score_thres")
+    ap.add_argument("-a", action="store_true", dest="output_all")
+    ap.add_argument("-C", action="store_true", dest="append_comment")
+    ap.add_argument("-Y", action="store_true", dest="softclip_supp")
+    ap.add_argument("-M", action="store_true", dest="mark_short_split")
+    ap.add_argument("-I", default=None, dest="insert_spec",
+                    help="mean[,std[,max[,min]]] insert size override")
+    ap.add_argument("-v", type=int, default=3, dest="verbosity")
+    ap.add_argument("-K", type=int, default=None, dest="chunk_size")
+    ap.add_argument("--device", default="auto",
+                    choices=["auto", "tpu", "cpu", "scalar"],
+                    help="compute path for seeding/extension")
+
+
+def build_opt(args) -> MemOpt:
+    kw = {}
+    if args.preset:
+        kw.update(preset(args.preset))
+    o_del, o_ins = ([int(x) for x in (args.gap_open.split(",") * 2)[:2]])
+    e_del, e_ins = ([int(x) for x in (args.gap_ext.split(",") * 2)[:2]])
+    clip5, clip3 = ([int(x) for x in (args.clip_pen.split(",") * 2)[:2]])
+    explicit = dict(
+        n_threads=args.n_threads, min_seed_len=args.min_seed_len,
+        w=args.band_width, zdrop=args.zdrop,
+        split_factor=args.split_factor, max_mem_intv=args.max_mem_intv,
+        max_occ=args.max_occ, drop_ratio=args.drop_ratio,
+        min_chain_weight=args.min_chain_weight,
+        max_matesw=args.max_matesw, a=args.match, b=args.mismatch,
+        o_del=o_del, o_ins=o_ins, e_del=e_del, e_ins=e_ins,
+        pen_clip5=clip5, pen_clip3=clip3,
+        pen_unpaired=args.pen_unpaired, T=args.score_thres)
+    # presets override only defaults the user did not set explicitly;
+    # bwa applies presets after parsing with "changed" tracking — we
+    # apply explicit values on top of presets, which matches when the
+    # user doesn't contradict the preset
+    kw.update({k: v for k, v in explicit.items()})
+    if args.preset:
+        defaults = MemOpt()
+        for k, v in preset(args.preset).items():
+            if explicit.get(k) == getattr(defaults, k):
+                kw[k] = v
+    flag = 0
+    if args.output_all:
+        flag |= MEM_F_ALL
+    if args.skip_matesw:
+        flag |= MEM_F_NO_RESCUE
+    if args.skip_pairing:
+        flag |= MEM_F_NOPAIRING
+    if args.smart_pairing:
+        flag |= MEM_F_SMARTPE
+    if args.softclip_supp:
+        flag |= MEM_F_SOFTCLIP
+    if args.mark_short_split:
+        flag |= MEM_F_NO_MULTI
+    kw["flag"] = flag
+    if args.chunk_size:
+        kw["chunk_size"] = args.chunk_size
+    return MemOpt(**kw)
+
+
+def _parse_rg_id(rg_line: str) -> str:
+    for fld in rg_line.replace("\\t", "\t").split("\t"):
+        if fld.startswith("ID:"):
+            return fld[3:]
+    return ""
+
+
+def main_mem(argv, out=None) -> int:
+    ap = argparse.ArgumentParser(prog="tpubwa mem")
+    _add_mem_opts(ap)
+    ap.add_argument("prefix")
+    ap.add_argument("reads")
+    ap.add_argument("mates", nargs="?", default=None)
+    args = ap.parse_args(argv)
+    opt = build_opt(args)
+    out = out if out is not None else sys.stdout
+    fmi = load_index(args.prefix)
+    from .host.pipeline import process_seqs, sam_header
+
+    paired = args.mates is not None or args.smart_pairing
+    if paired:
+        opt = opt.replace(flag=opt.flag | MEM_F_PE)
+    rg_id = _parse_rg_id(args.rg_line) if args.rg_line else ""
+    cl = "tpubwa mem " + " ".join(argv)
+    out.write(sam_header(fmi, args.rg_line, cl, __version__))
+
+    readers = [FastqReader(args.reads)]
+    if args.mates:
+        readers.append(FastqReader(args.mates))
+    align_fn = None
+    if args.device in ("auto", "tpu", "cpu"):
+        try:
+            from .device.pipeline import make_device_aligner
+            align_fn = make_device_aligner(opt, fmi, platform=args.device)
+        except Exception as e:  # pragma: no cover - device fallback
+            if args.device != "auto":
+                raise
+            log.warning("device path unavailable (%s); scalar fallback", e)
+    n_processed = 0
+    chunk = opt.chunk_size * opt.n_threads
+    t0 = time.time()
+    while True:
+        batch = read_fastq_batch(readers, chunk,
+                                 smart_pairing=args.smart_pairing)
+        if not batch:
+            break
+        lines = process_seqs(opt, fmi, batch, n_processed,
+                             rg_id=rg_id, align_fn=align_fn)
+        out.write("\n".join(lines) + "\n")
+        n_processed += len(batch)
+        log.info("[M::mem] processed %d reads (%.1f reads/s)",
+                 n_processed, n_processed / (time.time() - t0))
+    for r in readers:
+        r.close()
+    return 0
+
+
+def main_fastmap(argv, out=None) -> int:
+    """SMEM dump (fastmap.c:main_fastmap; SURVEY.md §2 row 23)."""
+    ap = argparse.ArgumentParser(prog="tpubwa fastmap")
+    ap.add_argument("-l", type=int, default=17, dest="min_len")
+    ap.add_argument("-w", type=int, default=20, dest="max_print")
+    ap.add_argument("prefix")
+    ap.add_argument("reads")
+    args = ap.parse_args(argv)
+    out = out if out is not None else sys.stdout
+    fmi = load_index(args.prefix)
+    opt = MemOpt(min_seed_len=args.min_len, max_mem_intv=0)
+    from .ref.smem import collect_intv, sa_positions
+    for read in FastqReader(args.reads):
+        out.write(f"SQ\t{read.name}\t{read.l_seq}\n")
+        for m in collect_intv(opt, fmi, read.seq):
+            out.write(f"EM\t{m.qb}\t{m.qe}\t{m.size}")
+            if m.size <= args.max_print:
+                for rbeg, _rank in sa_positions(fmi, m, m.size):
+                    fpos, is_rev = fmi.bnt.depos(
+                        rbeg if rbeg < fmi.bnt.l_pac
+                        else rbeg + (m.qe - m.qb) - 1)
+                    rid = fmi.bnt.pos2rid(fpos)
+                    out.write(f"\t{fmi.bnt.anns[rid].name}:"
+                              f"{'+-'[is_rev]}{fpos - fmi.bnt.anns[rid].offset + 1}")
+            else:
+                out.write("\t*")
+            out.write("\n")
+        out.write("//\n")
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    logging.basicConfig(level=logging.INFO,
+                        format="[%(levelname).1s::%(name)s] %(message)s",
+                        stream=sys.stderr)
+    if not argv:
+        sys.stderr.write(
+            f"Program: tpubwa (TPU-native BWA-MEM)\nVersion: {__version__}\n"
+            "Usage: tpubwa <index|mem|fastmap> [options]\n")
+        return 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "index":
+        return main_index(rest)
+    if cmd == "mem":
+        return main_mem(rest)
+    if cmd == "fastmap":
+        return main_fastmap(rest)
+    sys.stderr.write(f"[main] unrecognized command '{cmd}'\n")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,88 @@
+"""Per-batch alignment orchestration (bwamem.c:mem_align1_core/~1080,
+mem_process_seqs/~1150, worker1/worker2/~1100; SURVEY.md §2 row 3).
+
+``align1_core`` produces regions for one read; ``process_seqs`` maps a
+batch of reads to SAM lines.  The seeding/extension callables default to
+the scalar oracle; the TPU pipeline substitutes batched device stages
+producing identical regions (the QuickAssist gather->dispatch->scatter
+shape, SURVEY.md §3.4)."""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from ..index.fmindex import FMIndex
+from ..io.fastq import Read
+from ..opts import MEM_F_PE, MEM_F_NOPAIRING, MemOpt
+from .chain import Chain, chain_flt, flt_chained_seeds, mem_chain
+from .regions import AlnReg, chain2aln, mark_primary, sort_dedup_patch
+from .sam import MemAln, reg2sam
+
+log = logging.getLogger("tpubwa")
+
+
+def align1_core(opt: MemOpt, fmi: FMIndex, read: Read,
+                mat: np.ndarray) -> List[AlnReg]:
+    """Seed -> chain -> filter -> extend -> dedup for one read."""
+    q = read.seq
+    chains = mem_chain(opt, fmi, q)
+    chains = chain_flt(opt, chains)
+    flt_chained_seeds(opt, fmi.bnt, read.l_seq, q, chains, mat)
+    regs: List[AlnReg] = []
+    for c in chains:
+        chain2aln(opt, fmi.bnt, read.l_seq, q, c, regs, mat)
+    regs = sort_dedup_patch(opt, fmi.bnt, q, regs, mat)
+    for r in regs:
+        if r.rid >= 0 and fmi.bnt.anns[r.rid].is_alt:
+            r.is_alt = 1
+    return regs
+
+
+def sam_header(fmi: FMIndex, rg_line: Optional[str], pg_cl: str,
+               version: str) -> str:
+    lines = []
+    for a in fmi.bnt.anns:
+        lines.append(f"@SQ\tSN:{a.name}\tLN:{a.length}")
+        # (ALT handling: AH:* for alt contigs would go here)
+    if rg_line:
+        lines.append(rg_line.replace("\\t", "\t"))
+    lines.append(f"@PG\tID:tpubwa\tPN:tpubwa\tVN:{version}\tCL:{pg_cl}")
+    return "\n".join(lines) + "\n"
+
+
+def process_seqs(opt: MemOpt, fmi: FMIndex, reads: Sequence[Read],
+                 n_processed: int, mat: Optional[np.ndarray] = None,
+                 rg_id: str = "",
+                 align_fn: Optional[Callable] = None) -> List[str]:
+    """mem_process_seqs: batch -> SAM lines (order == input order).
+    Handles SE and PE (MEM_F_PE) modes."""
+    if mat is None:
+        mat = opt.scoring_matrix()
+    t0 = time.perf_counter()
+    align = align_fn or (lambda batch: [align1_core(opt, fmi, r, mat)
+                                        for r in batch])
+    all_regs = align(list(reads))
+    out: List[str] = []
+    if opt.flag & MEM_F_PE:
+        from .pair import sam_pe, pestat
+        pes = pestat(opt, fmi.bnt.l_pac, all_regs)
+        for i in range(0, len(reads), 2):
+            pair_id = (n_processed >> 1) + (i >> 1)
+            out.extend(sam_pe(opt, fmi, pes, pair_id,
+                              (reads[i], reads[i + 1]),
+                              (all_regs[i], all_regs[i + 1]), mat, rg_id))
+    else:
+        for i, (read, regs) in enumerate(zip(reads, all_regs)):
+            mark_primary(opt, regs, n_processed + i)
+            out.extend(reg2sam(opt, fmi.bnt, read.name, read.seq,
+                               read.qual, read.l_seq, regs, 0, None, mat,
+                               rg_id, read.comment))
+    dt = time.perf_counter() - t0
+    log.info("[M::process_seqs] Processed %d reads in %.3f CPU sec",
+             len(reads), dt)
+    return out

@@ -10,5 +10,9 @@ reference's CPU ksw_extend2 fallback plays under its FPGA offload
 """
 
 from .ksw import KswExt, ksw_extend, ksw_global, ksw_align, cigar_to_str
+from .smem import (BwtIntv, bwt_extend, collect_intv, sa_positions,
+                   seed_strategy1, set_intv, smem1a)
 
-__all__ = ["KswExt", "ksw_extend", "ksw_global", "ksw_align", "cigar_to_str"]
+__all__ = ["KswExt", "ksw_extend", "ksw_global", "ksw_align", "cigar_to_str",
+           "BwtIntv", "bwt_extend", "collect_intv", "sa_positions",
+           "seed_strategy1", "set_intv", "smem1a"]
