@@ -11,6 +11,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon sitecustomize force-prepends the TPU platform, ignoring
+# JAX_PLATFORMS; override via jax.config BEFORE any backend init so
+# tests run on the 8-virtual-device CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,82 @@
+"""Device pipeline == scalar pipeline: identical regions and identical
+SAM records (the oracle gate of SURVEY.md §7 steps 4-5)."""
+import io
+
+import numpy as np
+import pytest
+
+import tpubwa.device  # noqa: F401
+from tpubwa.cli import main_index, main_mem
+from tpubwa.device.pipeline import make_device_aligner
+from tpubwa.host.pipeline import align1_core
+from tpubwa.index import FMIndex
+from tpubwa.io.fastq import Read
+from tpubwa.opts import MemOpt
+from simread import simulate_reads, simulate_pairs, write_fastq
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    rng = np.random.default_rng(31)
+    d = tmp_path_factory.mktemp("dpipe")
+    unit = rng.integers(0, 4, 40).astype(np.uint8)
+    codes = np.concatenate([
+        rng.integers(0, 4, 12000).astype(np.uint8), np.tile(unit, 3),
+        rng.integers(0, 4, 6000).astype(np.uint8)])
+    bases = "".join("ACGT"[c] for c in codes)
+    fa = d / "ref.fa"
+    fa.write_text(">d1\n" + "\n".join(
+        bases[i:i + 70] for i in range(0, len(bases), 70)) + "\n")
+    assert main_index([str(fa)]) == 0
+    fmi = FMIndex.load(str(fa))
+    return d, codes, str(fa), fmi
+
+
+def _regs_key(regs):
+    return [(r.rb, r.re, r.qb, r.qe, r.rid, r.score, r.truesc, r.sub,
+             r.csub, r.w, r.seedcov, r.seedlen0, round(r.frac_rep, 9))
+            for r in regs]
+
+
+def test_device_regions_equal_scalar(setup):
+    d, codes, prefix, fmi = setup
+    rng = np.random.default_rng(5)
+    opt = MemOpt()
+    mat = opt.scoring_matrix()
+    sim = simulate_reads(codes, 40, 100, rng, snp_rate=0.02,
+                         indel_rate=0.004)
+    reads = [Read(name=n, seq=np.array(
+        [{"A": 0, "C": 1, "G": 2, "T": 3}[c] for c in s], np.uint8),
+        qual=None) for n, s, *_ in sim]
+    # add stress reads: garbage, N-containing, repeat
+    reads.append(Read("garb", rng.integers(0, 4, 100).astype(np.uint8),
+                      None))
+    nread = reads[0].seq.copy()
+    nread[40:44] = 4
+    reads.append(Read("withn", nread, None))
+    aligner = make_device_aligner(opt, fmi, platform="cpu",
+                                  use_pallas=False)
+    got = aligner(reads)
+    for i, r in enumerate(reads):
+        want = align1_core(opt, fmi, r, mat)
+        assert _regs_key(got[i]) == _regs_key(want), r.name
+    assert aligner.extender.n_waves > 0
+    assert aligner.extender.n_jobs >= len(reads)
+
+
+def test_device_sam_identical_to_scalar(setup):
+    d, codes, prefix, fmi = setup
+    rng = np.random.default_rng(6)
+    pairs = simulate_pairs(codes, 40, 100, rng)
+    fq1, fq2 = str(d / "p1.fq"), str(d / "p2.fq")
+    write_fastq(fq1, [(n, s1) for n, s1, s2, *_ in pairs])
+    write_fastq(fq2, [(n, s2) for n, s1, s2, *_ in pairs])
+
+    def run(dev):
+        out = io.StringIO()
+        assert main_mem(["--device", dev, prefix, fq1, fq2],
+                        out=out) == 0
+        return [l for l in out.getvalue().splitlines()
+                if not l.startswith("@PG")]
+
+    assert run("cpu") == run("scalar")

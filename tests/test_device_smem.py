@@ -1,0 +1,114 @@
+"""Device lockstep SMEM seeding vs the scalar 3-round oracle."""
+import numpy as np
+import pytest
+
+import tpubwa.device  # noqa: F401  (x64)
+from tpubwa.device.occ import DeviceIndex
+from tpubwa.device.smem import collect_intv_device, smems_round1
+from tpubwa.index import FMIndex
+from tpubwa.opts import MemOpt
+from tpubwa.ref.smem import collect_intv, smem1a
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    rng = np.random.default_rng(21)
+    # genome with a tandem repeat so re-seeding (round 2) triggers
+    unit = rng.integers(0, 4, 35).astype(np.uint8)
+    codes = np.concatenate([
+        rng.integers(0, 4, 1500).astype(np.uint8), np.tile(unit, 4),
+        rng.integers(0, 4, 1500).astype(np.uint8)])
+    p = tmp_path_factory.mktemp("dsmem") / "g.fa"
+    p.write_text(">g\n" + "".join("ACGT"[c] for c in codes) + "\n")
+    fmi = FMIndex.from_fasta(str(p))
+    return fmi, DeviceIndex.from_fmindex(fmi), codes, unit
+
+
+def _pack_reads(reads, L):
+    B = len(reads)
+    arr = np.full((B, L), 4, np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i, r in enumerate(reads):
+        arr[i, :len(r)] = r
+        lens[i] = len(r)
+    return arr, lens
+
+
+def _key(rows):
+    return sorted(tuple(int(v) for v in r) for r in rows)
+
+
+def test_collect_intv_device_equals_scalar(setup):
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    rng = np.random.default_rng(1)
+    opt = MemOpt()
+    reads = []
+    # genome windows with mutations (mix of unique/repetitive/N reads)
+    for t in range(12):
+        start = int(rng.integers(0, len(codes) - 110))
+        q = text[start:start + 100].copy()
+        for _ in range(int(rng.integers(0, 6))):
+            q[int(rng.integers(0, 100))] = int(rng.integers(0, 5))
+        reads.append(q)
+    reads.append(np.tile(unit, 3)[:100].copy())        # repeat read
+    reads.append(rng.integers(0, 4, 100).astype(np.uint8))  # garbage
+    q = text[700:800].copy()
+    q[50] = 4                                          # N in middle
+    reads.append(q)
+    arr, lens = _pack_reads(reads, 100)
+    got = collect_intv_device(opt, didx, arr, lens)
+    for i, r in enumerate(reads):
+        want = collect_intv(opt, fmi, r)
+        wk = sorted((m.qb, m.qe, m.size, m.x0, m.x1) for m in want)
+        gk = sorted((int(x[3]), int(x[4]), int(x[2]), int(x[0]),
+                     int(x[1])) for x in got[i])
+        assert gk == wk, f"read {i}"
+
+
+def test_round1_equals_exhaustive_smem1a(setup):
+    """Round-1 device output == union of smem1a over every anchor
+    (not just the advancing-x anchors) — validates the e(b) rule."""
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    opt = MemOpt(min_seed_len=1)
+    rng = np.random.default_rng(2)
+    reads = [text[i * 211:i * 211 + 60].copy() for i in range(5)]
+    arr, lens = _pack_reads(reads, 60)
+    got = smems_round1(didx, arr, lens, 1)
+    tmp = []
+    for i, q in enumerate(reads):
+        want = set()
+        x = 0
+        while x < len(q):
+            if q[x] < 4:
+                x = smem1a(fmi, q, x, 1, 0, tmp)
+                want.update((m.qb, m.qe, m.size) for m in tmp)
+            else:
+                x += 1
+        gk = set((int(r[3]), int(r[4]), int(r[2])) for r in got[i])
+        assert gk == want, i
+
+
+def test_round2_min_intv_equivalence(setup):
+    """Device constrained reach == smem1a(x, min_intv>1)."""
+    from tpubwa.device.smem import smems_reseed
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    rng = np.random.default_rng(3)
+    reads = [np.tile(unit, 3)[:90].copy(),
+             text[1490:1590].copy()]  # overlapping the repeat start
+    arr, lens = _pack_reads(reads, 100)
+    tmp = []
+    for ri, q in enumerate(reads):
+        for x in [10, 45, 70]:
+            for mi in [2, 3, 5]:
+                if q[x] > 3:
+                    continue
+                smem1a(fmi, q, x, mi, 0, tmp)
+                want = sorted((m.qb, m.qe, m.size, m.x0, m.x1)
+                              for m in tmp)
+                out = smems_reseed(didx, arr, lens, [(ri, x, mi)], 1)
+                gk = sorted((int(r[3]), int(r[4]), int(r[2]), int(r[0]),
+                             int(r[1])) for r in out[0][1])
+                assert gk == want, (ri, x, mi)

@@ -1,0 +1,112 @@
+"""Extension-wave dispatch: gather -> batch -> kernel -> scatter
+(SURVEY.md §2 row 17, §3.4 — the TPU analogue of the reference's
+QuickAssist offload layer).
+
+Every read's mem_chain2aln logic runs as a host-side generator
+(host/regions.py:extension_plan); this module advances ALL generators
+in lockstep waves.  Each wave collects one pending extension job per
+plan, pads them into fixed-shape arrays, runs ONE device program
+(device/extend.py or the Pallas kernel), and scatters the 6-tuple
+results back.  Band-doubling retries and the left->right h0 dependency
+naturally become successive waves — the same 2-3 dispatch rounds per
+batch the FPGA fork used.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..opts import MemOpt
+from ..ref.ksw import KswExt, ksw_extend
+
+# job tuple layout from extension_plan:
+# (qlen, q, tlen, t, w, end_bonus, h0)
+
+
+class WaveExtender:
+    """Drives extension_plan generators to completion in batched waves."""
+
+    def __init__(self, opt: MemOpt, mat: np.ndarray, qmax: int = 256,
+                 tmax: int = 512, batch_fn: Optional[Callable] = None,
+                 use_pallas: bool = True):
+        self.opt = opt
+        self.mat = np.asarray(mat, np.int32)
+        self.qmax = qmax
+        self.tmax = tmax
+        self.n_waves = 0
+        self.n_jobs = 0
+        self.n_fallback = 0
+        if batch_fn is not None:
+            self.batch_fn = batch_fn
+        else:
+            self.batch_fn = self._make_batch_fn(use_pallas)
+
+    def _make_batch_fn(self, use_pallas: bool):
+        from .extend import extend_batch_np
+        pallas_fn = None
+        if use_pallas:
+            try:
+                from .extend_pallas import extend_batch_pallas_np
+                pallas_fn = extend_batch_pallas_np
+            except Exception:
+                pallas_fn = None
+
+        def run(jobs):
+            fn = pallas_fn or extend_batch_np
+            return fn(jobs, self.mat, self.opt.o_del, self.opt.e_del,
+                      self.opt.o_ins, self.opt.e_ins, self.opt.zdrop,
+                      self.qmax, self.tmax)
+        return run
+
+    def _scalar(self, job) -> KswExt:
+        qlen, q, tlen, t, w, eb, h0 = job
+        self.n_fallback += 1
+        return ksw_extend(qlen, q, tlen, t, self.mat, self.opt.o_del,
+                          self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
+                          w, eb, self.opt.zdrop, h0)
+
+    def run(self, plans: List) -> None:
+        """plans: generators from extension_plan (mutate their av)."""
+        # prime every generator to its first job
+        live = []
+        for g in plans:
+            try:
+                job = next(g)
+                live.append([g, job])
+            except StopIteration:
+                pass
+        while live:
+            # oversized jobs take the scalar fallback inline
+            wave = []
+            for ent in live:
+                job = ent[1]
+                while job is not None and (job[0] > self.qmax
+                                           or job[2] > self.tmax):
+                    try:
+                        job = ent[0].send(self._scalar(job))
+                    except StopIteration:
+                        job = None
+                ent[1] = job
+            live = [e for e in live if e[1] is not None]
+            if not live:
+                break
+            jobs = [dict(q=e[1][1][:e[1][0]], t=e[1][3][:e[1][2]],
+                         w=e[1][4], end_bonus=e[1][5], h0=e[1][6])
+                    for e in live]
+            self.n_waves += 1
+            self.n_jobs += len(jobs)
+            score, qle, tle, gtle, gscore, max_off = self.batch_fn(jobs)
+            nxt = []
+            for i, ent in enumerate(live):
+                r = KswExt(score=int(score[i]), qle=int(qle[i]),
+                           tle=int(tle[i]), gtle=int(gtle[i]),
+                           gscore=int(gscore[i]),
+                           max_off=int(max_off[i]))
+                try:
+                    ent[1] = ent[0].send(r)
+                    nxt.append(ent)
+                except StopIteration:
+                    pass
+            live = nxt

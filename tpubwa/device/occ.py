@@ -1,0 +1,203 @@
+"""Batched FM-index primitives on device (bwt.c:bwt_occ4/bwt_2occ4/
+bwt_extend/bwt_sa rewritten as vectorized JAX gathers; SURVEY.md §2
+rows 5-6,14).
+
+HBM layout: one fused row per 128-base block — 4 uint32 checkpoint
+counts followed by 8 uint32 packed-base words (``occ_blocks``,
+[n_blocks, 12]).  One occ4 query = ONE 48-byte row gather + masked
+popcounts, the TPU analogue of bwa's count-interleaved OCC_INTERVAL
+layout.  All rank/position arithmetic is int64 (human-scale 2*l_pac
+overflows int32).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.fmindex import FMIndex, OCC_INTERVAL, SA_INTV, WORDS_PER_BLOCK
+
+I64 = jnp.int64
+U32 = jnp.uint32
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceIndex:
+    """FM-index arrays resident on device + static scalars."""
+    occ_blocks: jnp.ndarray   # uint32 [n_blocks, 12]: 4 counts + 8 words
+    sa_sample: jnp.ndarray    # int64 [n//32 + 1]
+    L2: jnp.ndarray           # int64 [5]
+    primary: int              # static
+    seq_len: int              # static
+    pac_words: jnp.ndarray    # uint32 [ceil(l_pac/16)] packed fwd ref
+    l_pac: int                # static
+
+    def tree_flatten(self):
+        return ((self.occ_blocks, self.sa_sample, self.L2,
+                 self.pac_words),
+                (self.primary, self.seq_len, self.l_pac))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        occ_blocks, sa_sample, L2, pac_words = children
+        primary, seq_len, l_pac = aux
+        return cls(occ_blocks=occ_blocks, sa_sample=sa_sample, L2=L2,
+                   primary=primary, seq_len=seq_len,
+                   pac_words=pac_words, l_pac=l_pac)
+
+    @classmethod
+    def from_fmindex(cls, fmi: FMIndex, device=None) -> "DeviceIndex":
+        n = fmi.seq_len
+        n_blocks = fmi.occ_ckpt.shape[0] - 1
+        words = fmi.bwt_words
+        pad = n_blocks * WORDS_PER_BLOCK - len(words)
+        words = np.concatenate([words, np.zeros(pad, np.uint32)])
+        blocks = np.concatenate(
+            [fmi.occ_ckpt[:-1], words.reshape(n_blocks, WORDS_PER_BLOCK)],
+            axis=1).astype(np.uint32)
+        # pack the forward reference 16 codes/word (same order as bwt)
+        from ..index.fmindex import pack_bwt_words
+        pw = pack_bwt_words(fmi.bnt.codes)
+        put = partial(jax.device_put, device=device)
+        return cls(occ_blocks=put(blocks),
+                   sa_sample=put(fmi.sa_sample.astype(np.int64)),
+                   L2=put(fmi.L2.astype(np.int64)),
+                   primary=int(fmi.primary), seq_len=int(fmi.seq_len),
+                   pac_words=put(pw), l_pac=int(fmi.bnt.l_pac))
+
+
+_PATTERNS = np.array([0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF],
+                     dtype=np.uint32)
+
+
+def _block_counts(words: jnp.ndarray, nb: jnp.ndarray) -> jnp.ndarray:
+    """#occurrences of each base among the first nb bases of a block.
+
+    words: uint32 [..., 8]; nb: int [...] in [0, 128].
+    Returns int64 [..., 4].
+    """
+    pat = jnp.asarray(_PATTERNS)
+    x = words[..., None, :] ^ pat[:, None]          # [..., 4, 8]
+    y = (~x) & ((~x) >> U32(1)) & U32(0x55555555)
+    cov = jnp.clip(nb[..., None] - jnp.arange(8, dtype=nb.dtype) * 16,
+                   0, 16)                            # [..., 8]
+    shift = (2 * (16 - jnp.clip(cov, 1, 16))).astype(U32)
+    mask = jnp.where(cov > 0,
+                     (U32(0xFFFFFFFF) << shift) & U32(0xFFFFFFFF),
+                     U32(0))
+    cnt = jax.lax.population_count(y & mask[..., None, :])
+    return jnp.sum(cnt, axis=-1).astype(I64)         # [..., 4]
+
+
+def occ4(didx: DeviceIndex, k: jnp.ndarray) -> jnp.ndarray:
+    """occ(k, c) for all 4 bases; k int64 [...] conceptual rows in
+    [-1, seq_len].  Returns int64 [..., 4]."""
+    k = k.astype(I64)
+    is_end = k == didx.seq_len
+    kk = jnp.where(k >= didx.primary, k - 1, k)
+    kk = jnp.clip(kk, 0, didx.seq_len - 1)
+    blk = kk >> 7
+    row = didx.occ_blocks[blk]                      # [..., 12]
+    base = row[..., :4].astype(I64)
+    words = row[..., 4:]
+    nb = (kk - (blk << 7) + 1).astype(I64)
+    cnt = base + _block_counts(words, nb)
+    cnt = jnp.where((k < 0)[..., None], I64(0), cnt)
+    end_val = (didx.L2[1:5] - didx.L2[0:4])[None]
+    return jnp.where(is_end[..., None], end_val, cnt)
+
+
+def occ1(didx: DeviceIndex, k: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """occ(k, c) for one base per query (used by the SA walk)."""
+    return jnp.take_along_axis(occ4(didx, k), c[..., None].astype(I64),
+                               axis=-1)[..., 0]
+
+
+def bwt_code(didx: DeviceIndex, x: jnp.ndarray) -> jnp.ndarray:
+    """stored BWT[x] (x stored index, int64 [...])."""
+    x = x.astype(I64)
+    blk = x >> 7
+    within = x - (blk << 7)
+    w = didx.occ_blocks[blk, 4 + (within >> 4)]
+    sh = ((15 - (within & 15)) << 1).astype(U32)
+    return ((w >> sh) & U32(3)).astype(I64)
+
+
+def set_intv(didx: DeviceIndex, c: jnp.ndarray):
+    """bwt_set_intv batched: [..., 3] (x0, x1, size) for single bases."""
+    c = c.astype(I64)
+    x0 = didx.L2[c] + 1
+    x1 = didx.L2[3 - c] + 1
+    sz = didx.L2[c + 1] - didx.L2[c]
+    return jnp.stack([x0, x1, sz], axis=-1)
+
+
+def bwt_extend(didx: DeviceIndex, ik: jnp.ndarray, is_back: bool):
+    """Batched bidirectional extension (bwt.c:bwt_extend:~240).
+
+    ik: int64 [..., 3] = (x0, x1, size).  Returns ok int64 [..., 4, 3]
+    indexed by the base in the extension direction."""
+    piv = ik[..., 0] if is_back else ik[..., 1]
+    oth = ik[..., 1] if is_back else ik[..., 0]
+    sz = ik[..., 2]
+    tk = occ4(didx, piv - 1)                        # [..., 4]
+    tl = occ4(didx, piv - 1 + sz)
+    sizes = tl - tk
+    new_piv = didx.L2[:4][None] + 1 + tk
+    sent = ((piv <= didx.primary)
+            & (piv + sz - 1 >= didx.primary)).astype(I64)
+    acc3 = oth + sent
+    acc2 = acc3 + sizes[..., 3]
+    acc1 = acc2 + sizes[..., 2]
+    acc0 = acc1 + sizes[..., 1]
+    accs = jnp.stack([acc0, acc1, acc2, acc3], axis=-1)
+    if is_back:
+        return jnp.stack([new_piv, accs, sizes], axis=-1)
+    return jnp.stack([accs, new_piv, sizes], axis=-1)
+
+
+def inv_psi(didx: DeviceIndex, k: jnp.ndarray) -> jnp.ndarray:
+    """LF mapping on conceptual rows, batched."""
+    x = k - (k > didx.primary)
+    c = bwt_code(didx, x)
+    lf = didx.L2[c] + occ1(didx, k, c)
+    return jnp.where(k == didx.primary, I64(0), lf)
+
+
+@partial(jax.jit, static_argnames=())
+def sa_lookup(didx: DeviceIndex, ranks: jnp.ndarray) -> jnp.ndarray:
+    """Batched bwt_sa: walk LF until a sampled rank (<= 31 steps)."""
+    ranks = ranks.astype(I64)
+
+    def cond(state):
+        k, steps = state
+        return jnp.any(k % SA_INTV != 0)
+
+    def body(state):
+        k, steps = state
+        active = (k % SA_INTV) != 0
+        nk = inv_psi(didx, k)
+        k = jnp.where(active, nk, k)
+        steps = steps + active.astype(I64)
+        return k, steps
+
+    k, steps = jax.lax.while_loop(
+        cond, body, (ranks, jnp.zeros_like(ranks)))
+    return steps + didx.sa_sample[k // SA_INTV]
+
+
+def get_ref_batch(didx: DeviceIndex, starts: jnp.ndarray,
+                  length: int) -> jnp.ndarray:
+    """Fetch `length` forward-reference codes from each start (doubled
+    coordinates are NOT handled here; callers fold strands)."""
+    pos = starts[:, None].astype(I64) + jnp.arange(length, dtype=I64)[None]
+    pos = jnp.clip(pos, 0, didx.l_pac - 1)
+    w = didx.pac_words[pos >> 4]
+    sh = ((15 - (pos & 15)) << 1).astype(U32)
+    return ((w >> sh) & U32(3)).astype(jnp.int32)

@@ -1,0 +1,180 @@
+"""Device-accelerated per-batch aligner (SURVEY.md §2 rows 3,5,6,9,17).
+
+Stage plan per batch (mirrors §3.4's phase structure):
+  A. batched SMEM seeding on device  (smem.collect_intv_device)
+  B. batched SA lookups on device    (occ.sa_lookup)
+  C. host chaining/filtering          (host/chain.py — tiny per read)
+  D. extension WAVES on device       (dispatch.WaveExtender)
+  E. host dedup/patch/region post    (host/regions.py)
+
+Produces regions identical to the scalar host path (pinned by
+tests/test_device_pipeline.py), so everything downstream — primary
+marking, MAPQ, pairing, SAM — is shared code.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..host.chain import chain_flt, flt_chained_seeds, mem_chain
+from ..host.regions import AlnReg, extension_plan, sort_dedup_patch
+from ..index.fmindex import FMIndex
+from ..io.fastq import Read
+from ..opts import MemOpt
+from ..ref.smem import BwtIntv
+from .dispatch import WaveExtender
+from .occ import DeviceIndex, sa_lookup
+from .smem import collect_intv_device, _pad_pow2
+
+log = logging.getLogger("tpubwa")
+
+
+def _pick_device(platform: str):
+    """Resolve the compute device.  The axon TPU is single-tenant per
+    process: if another process holds the chip, plugin registration
+    fails and jax.devices() raises instead of silently using CPU —
+    honor --device auto by falling back explicitly."""
+    if platform == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backends already initialized; use jax.devices("cpu")
+        return jax.devices("cpu")[0]
+    try:
+        devs = jax.devices()
+    except RuntimeError:
+        if platform == "tpu":
+            raise
+        log.warning("TPU backend unavailable; using CPU")
+        jax.config.update("jax_platforms", "cpu")
+        devs = jax.devices()
+    for d in devs:
+        if d.platform in ("tpu", "axon"):
+            return d
+    if platform == "tpu":
+        raise RuntimeError("no TPU device available")
+    return jax.devices("cpu")[0]
+
+
+class DeviceAligner:
+    """Batched seeding/SA/extension; host chaining + region post."""
+
+    def __init__(self, opt: MemOpt, fmi: FMIndex, platform: str = "auto",
+                 use_pallas: bool = True):
+        self.opt = opt
+        self.fmi = fmi
+        self.mat = opt.scoring_matrix()
+        self.device = _pick_device(platform)
+        self.didx = DeviceIndex.from_fmindex(fmi, device=self.device)
+        self.extender = WaveExtender(opt, self.mat,
+                                     use_pallas=use_pallas)
+        self.read_len_cap = 256  # longer reads fall back to scalar path
+
+    # -------------------------------------------------------------
+    def _pack(self, reads: Sequence[Read]):
+        L = max((r.l_seq for r in reads), default=1)
+        Lp = 1
+        while Lp < L:
+            Lp <<= 1
+        Lp = max(Lp, 32)
+        arr = np.full((len(reads), Lp), 4, np.uint8)
+        lens = np.zeros(len(reads), np.int32)
+        for i, r in enumerate(reads):
+            arr[i, :r.l_seq] = r.seq
+            lens[i] = r.l_seq
+        return arr, lens
+
+    def _sa_positions(self, per_read_intvs):
+        """Subsample ranks per bwa protocol, one batched device lookup."""
+        ranks = []
+        meta = []  # (read_i, intv_i, count)
+        for ri, rows in enumerate(per_read_intvs):
+            for ii, row in enumerate(rows):
+                x0, x1, size, qb, qe = (int(v) for v in row)
+                step = size // self.opt.max_occ \
+                    if size > self.opt.max_occ else 1
+                cnt = min((size + step - 1) // step, self.opt.max_occ)
+                ranks.extend(x0 + k * step for k in range(cnt))
+                meta.append((ri, ii, cnt))
+        if not ranks:
+            return [[] for _ in per_read_intvs]
+        n = len(ranks)
+        m = _pad_pow2(n)
+        arr = np.zeros(m, np.int64)
+        arr[:n] = ranks
+        pos = np.asarray(sa_lookup(self.didx, jnp.asarray(arr)))[:n]
+        out = [[] for _ in per_read_intvs]
+        off = 0
+        for ri, ii, cnt in meta:
+            out[ri].append(pos[off:off + cnt])
+            off += cnt
+        return out
+
+    # -------------------------------------------------------------
+    def align_batch(self, reads: Sequence[Read]) -> List[List[AlnReg]]:
+        opt, fmi, mat = self.opt, self.fmi, self.mat
+        if not reads:
+            return []
+        if max(r.l_seq for r in reads) > self.read_len_cap:
+            from ..host.pipeline import align1_core
+            return [align1_core(opt, fmi, r, mat) for r in reads]
+        arr, lens = self._pack(reads)
+        intv_rows = collect_intv_device(opt, self.didx, arr, lens)
+        positions = self._sa_positions(intv_rows)
+        all_regs: List[List[AlnReg]] = []
+        plans_by_read = []
+        for ri, read in enumerate(reads):
+            intvs = [BwtIntv(int(r[0]), int(r[1]), int(r[2]),
+                             int(r[3]), int(r[4]))
+                     for r in intv_rows[ri]]
+            chains = mem_chain(opt, fmi, read.seq, intvs=intvs,
+                               positions=positions[ri])
+            chains = chain_flt(opt, chains)
+            flt_chained_seeds(opt, fmi.bnt, read.l_seq, read.seq,
+                              chains, mat)
+            regs: List[AlnReg] = []
+            all_regs.append(regs)
+            # chains of one read share `regs` and must extend in order
+            # (the skip test consults earlier regions); different reads
+            # extend in parallel waves
+            plans_by_read.append([
+                extension_plan(opt, fmi.bnt, read.l_seq, read.seq, c,
+                               regs) for c in chains])
+        self.extender.run(_serialize_per_read(plans_by_read))
+        out = []
+        for read, regs in zip(reads, all_regs):
+            regs = sort_dedup_patch(opt, fmi.bnt, read.seq, regs, mat)
+            for r in regs:
+                if r.rid >= 0 and fmi.bnt.anns[r.rid].is_alt:
+                    r.is_alt = 1
+            out.append(regs)
+        return out
+
+    def __call__(self, reads: Sequence[Read]) -> List[List[AlnReg]]:
+        return self.align_batch(reads)
+
+
+def _serialize_per_read(plans_by_read):
+    def chain_gens(gens):
+        for g in gens:
+            try:
+                job = next(g)
+                while True:
+                    result = yield job
+                    job = g.send(result)
+            except StopIteration:
+                continue
+    return [chain_gens(gens) for gens in plans_by_read if gens]
+
+
+def make_device_aligner(opt: MemOpt, fmi: FMIndex,
+                        platform: str = "auto",
+                        use_pallas: bool = True) -> DeviceAligner:
+    return DeviceAligner(opt, fmi, platform=platform,
+                         use_pallas=use_pallas)

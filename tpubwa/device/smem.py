@@ -1,0 +1,273 @@
+"""Batched SMEM seeding on device (SURVEY.md §2 row 5).
+
+TPU-native reformulation of bwt_smem1a's forward/backward protocol:
+instead of per-read nested variable-length loops, we use the closed
+characterisation of the SMEM set — with e(b) = the right-maximal reach
+of an exact match starting at query position b,
+
+    SMEMs = { [b, e(b)) : e(b) > b  and  (b == 0 or e(b-1) < e(b)) }
+
+(e is monotone non-decreasing, so left-maximality of [b, e(b)) is
+exactly e(b-1) < e(b)).  All starting positions of all reads extend in
+LOCKSTEP — one batched bwt_extend (two fused occ-row gathers + masked
+popcounts) per round over a flat job array.  No divergent control
+flow; the while_loop runs entirely on device.
+
+Round-2 re-seeding uses the same search constrained to cover the
+midpoint x with interval size >= min_intv (bwt_smem1a(x, min_intv)
+semantics); round-3 runs the forward-only bwt_seed_strategy1 scan as a
+per-read lockstep state machine.
+
+Equivalence to the scalar 3-round protocol (ref/smem.py) is pinned by
+property tests (tests/test_device_smem.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .occ import DeviceIndex, bwt_extend, set_intv
+
+I64 = jnp.int64
+I32 = jnp.int32
+
+
+def _pad_pow2(n: int, lo: int = 256) -> int:
+    m = lo
+    while m < n:
+        m <<= 1
+    return m
+
+
+@jax.jit
+def _rightmost_reach(didx: DeviceIndex, q: jnp.ndarray, lens: jnp.ndarray,
+                     read_idx: jnp.ndarray, starts: jnp.ndarray,
+                     min_intv: jnp.ndarray):
+    """Lockstep right-maximal extension.
+
+    q: int32 [B, L] read codes (4 = N/pad); lens: int32 [B]
+    read_idx/starts/min_intv: per-job arrays [N] (a job = one search
+    from q[read_idx, starts:] keeping interval size >= min_intv).
+
+    Returns (ik [N,3] int64 final interval, e [N] int64 final end);
+    jobs that fail immediately get e == start.
+    """
+    L = q.shape[1]
+    b = starts.astype(I64)
+    jl = lens[read_idx].astype(I64)
+
+    def base_at(pos):
+        p = jnp.clip(pos, 0, L - 1).astype(I32)
+        return q[read_idx, p].astype(I64)
+
+    c0 = base_at(b)
+    valid0 = (c0 <= 3) & (b < jl)
+    ik0 = set_intv(didx, jnp.where(valid0, c0, 0))
+    ok0 = valid0 & (ik0[:, 2] >= min_intv)
+    e0 = jnp.where(ok0, b + 1, b)
+
+    def cond(state):
+        ik, e, active, t = state
+        return jnp.any(active)
+
+    def body(state):
+        ik, e, active, t = state
+        pos = b + t
+        c = base_at(pos)
+        can = active & (pos < jl) & (c <= 3)
+        ok = bwt_extend(didx, ik, is_back=False)      # [N, 4, 3]
+        comp = jnp.clip(3 - c, 0, 3)
+        nik = jnp.take_along_axis(
+            ok, jnp.broadcast_to(comp[:, None, None],
+                                 (ik.shape[0], 1, 3)), axis=1)[:, 0]
+        good = can & (nik[:, 2] >= min_intv)
+        ik = jnp.where(good[:, None], nik, ik)
+        e = jnp.where(good, b + t + 1, e)
+        return ik, e, good, t + 1
+
+    ik, e, _, _ = jax.lax.while_loop(
+        cond, body, (ik0, e0, ok0, jnp.asarray(1, I64)))
+    return ik, e
+
+
+def _run_reach(didx, reads, lens, read_idx, starts, min_intv):
+    """Pad job arrays to pow2 buckets (bounds jit retraces), run, trim."""
+    n = len(read_idx)
+    m = _pad_pow2(n)
+    pad = m - n
+    ri = np.concatenate([read_idx, np.zeros(pad, np.int32)])
+    st = np.concatenate([starts, np.zeros(pad, np.int32)])
+    mi = np.concatenate([min_intv, np.full(pad, 1 << 62, np.int64)])
+    ik, e = _rightmost_reach(didx, jnp.asarray(reads, I32),
+                             jnp.asarray(lens, I32), jnp.asarray(ri),
+                             jnp.asarray(st), jnp.asarray(mi))
+    return np.asarray(ik)[:n], np.asarray(e)[:n]
+
+
+def smems_round1(didx: DeviceIndex, reads: np.ndarray, lens: np.ndarray,
+                 min_seed_len: int) -> List[np.ndarray]:
+    """All SMEMs of every read (round 1).  Returns per-read
+    [n, 5] int64 (x0, x1, size, qb, qe)."""
+    B, L = reads.shape
+    read_idx = np.repeat(np.arange(B, dtype=np.int32), L)
+    starts = np.tile(np.arange(L, dtype=np.int32), B)
+    min_intv = np.ones(B * L, np.int64)
+    ik, e = _run_reach(didx, reads, lens, read_idx, starts, min_intv)
+    ik = ik.reshape(B, L, 3)
+    e = e.reshape(B, L)
+    out = []
+    for i in range(B):
+        li = int(lens[i])
+        ei = e[i, :li]
+        starts_i = np.arange(li)
+        is_smem = ei > starts_i
+        if li > 1:
+            is_smem[1:] &= ei[:-1] < ei[1:]
+        is_smem &= (ei - starts_i) >= min_seed_len
+        idx = np.flatnonzero(is_smem)
+        out.append(np.concatenate(
+            [ik[i, idx], starts_i[idx, None], ei[idx, None]],
+            axis=1).astype(np.int64))
+    return out
+
+
+def smems_reseed(didx: DeviceIndex, reads: np.ndarray, lens: np.ndarray,
+                 jobs: List[Tuple[int, int, int]], min_seed_len: int):
+    """Round-2 re-seeding: jobs = [(read_idx, x, min_intv)] -> list of
+    (read_idx, rows[n,5]) — maximal matches covering x with interval
+    size >= min_intv (bwt_smem1a(x, min_intv) semantics)."""
+    if not jobs:
+        return []
+    read_idx, starts, min_intv, meta = [], [], [], []
+    for (ri, x, mi) in jobs:
+        nb = x + 1                      # candidate starts b = 0..x
+        read_idx.append(np.full(nb, ri, np.int32))
+        starts.append(np.arange(nb, dtype=np.int32))
+        min_intv.append(np.full(nb, mi, np.int64))
+        meta.append((ri, x, nb))
+    ik, e = _run_reach(didx, reads, lens, np.concatenate(read_idx),
+                       np.concatenate(starts), np.concatenate(min_intv))
+    out = []
+    off = 0
+    for (ri, x, nb) in meta:
+        ei = e[off:off + nb]
+        iki = ik[off:off + nb]
+        off += nb
+        starts_i = np.arange(nb)
+        valid = ei >= x + 1             # must cover x
+        is_smem = valid & (ei > starts_i)
+        if nb > 1:
+            is_smem[1:] &= (~valid[:-1]) | (ei[:-1] < ei[1:])
+        is_smem &= (ei - starts_i) >= min_seed_len
+        idx = np.flatnonzero(is_smem)
+        out.append((ri, np.concatenate(
+            [iki[idx], starts_i[idx, None], ei[idx, None]],
+            axis=1).astype(np.int64)))
+    return out
+
+
+@partial(jax.jit, static_argnames=("min_len", "max_intv"))
+def _seed_strategy_scan(didx: DeviceIndex, q: jnp.ndarray,
+                        lens: jnp.ndarray, min_len: int, max_intv: int):
+    """Round 3: lockstep bwt_seed_strategy1 (bwt.c:~490) over all reads.
+    Returns (hits [B, MAXH, 5] int64, n_hits [B])."""
+    B, L = q.shape
+    MAXH = L // max(int(min_len), 1) + 1
+    lj = lens.astype(I64)
+    min_len_j = jnp.asarray(min_len, I64)
+    max_intv_j = jnp.asarray(max_intv, I64)
+
+    def cond(state):
+        x, i, ik, mode, hits, nh = state
+        return jnp.any(x < lj)
+
+    def body(state):
+        x, i, ik, mode, hits, nh = state
+        active = x < lj
+        # restart lane (mode 0): inspect q[x]
+        cx = q[jnp.arange(B), jnp.clip(x, 0, L - 1).astype(I32)].astype(I64)
+        restart = active & (mode == 0)
+        amb0 = restart & (cx > 3)
+        start_ok = restart & (cx <= 3)
+        ik = jnp.where(start_ok[:, None],
+                       set_intv(didx, jnp.where(cx <= 3, cx, 0)), ik)
+        i = jnp.where(start_ok, x + 1, i)
+        mode = jnp.where(start_ok, 1, mode)
+        x = jnp.where(amb0, x + 1, x)
+        # scan lane (mode 1): inspect q[i]
+        scanning = active & (mode == 1)
+        at_end = scanning & (i >= lj)
+        ci = q[jnp.arange(B), jnp.clip(i, 0, L - 1).astype(I32)].astype(I64)
+        amb = scanning & ~at_end & (ci > 3)
+        step = scanning & ~at_end & (ci <= 3)
+        ok = bwt_extend(didx, ik, is_back=False)
+        comp = jnp.clip(3 - ci, 0, 3)
+        nik = jnp.take_along_axis(
+            ok, jnp.broadcast_to(comp[:, None, None], (B, 1, 3)),
+            axis=1)[:, 0]
+        # upstream: restart whenever size < max_intv AND len >= min_len,
+        # but only PUSH the hit when its interval is non-empty
+        qualify = step & (nik[:, 2] < max_intv_j) & (i - x >= min_len_j)
+        emit = qualify & (nik[:, 2] > 0)
+        row = jnp.concatenate([nik, x[:, None], (i + 1)[:, None]], axis=1)
+        slot_mask = (jnp.arange(MAXH, dtype=I64)[None, :]
+                     == jnp.clip(nh, 0, MAXH - 1)[:, None])
+        upd = emit[:, None] & slot_mask                  # [B, MAXH]
+        hits = jnp.where(upd[:, :, None], row[:, None, :], hits)
+        nh = nh + emit.astype(I64)
+        # transitions (amb terminates the scan and restarts at i+1)
+        x = jnp.where(qualify | amb, i + 1, x)
+        x = jnp.where(at_end, lj, x)
+        mode = jnp.where(qualify | amb | at_end, 0, mode)
+        ik = jnp.where((step & ~qualify)[:, None], nik, ik)
+        i = jnp.where(step, i + 1, i)
+        return x, i, ik, mode, hits, nh
+
+    state = (jnp.zeros(B, I64), jnp.zeros(B, I64), jnp.zeros((B, 3), I64),
+             jnp.zeros(B, I64), jnp.zeros((B, MAXH, 5), I64),
+             jnp.zeros(B, I64))
+    x, i, ik, mode, hits, nh = jax.lax.while_loop(cond, body, state)
+    return hits, nh
+
+
+def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
+                        lens: np.ndarray) -> List[np.ndarray]:
+    """Full 3-round mem_collect_intv for a batch, device-accelerated.
+    Returns per-read [n, 5] int64 (x0, x1, size, qb, qe) sorted by
+    (qb, qe) — the contract of ref.smem.collect_intv."""
+    B, L = reads.shape
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    r1 = smems_round1(didx, reads, lens, opt.min_seed_len)
+    jobs = []
+    for ri in range(B):
+        for row in r1[ri]:
+            x0, x1, size, qb, qe = (int(v) for v in row)
+            if qe - qb < split_len or size > opt.split_width:
+                continue
+            jobs.append((ri, (qb + qe) >> 1, size + 1))
+    r2 = smems_reseed(didx, reads, lens, jobs, opt.min_seed_len)
+    per_read: List[List[np.ndarray]] = [list(r1[ri]) for ri in range(B)]
+    for ri, rows in r2:
+        per_read[ri].extend(rows)
+    if opt.max_mem_intv > 0:
+        hits, nh = _seed_strategy_scan(
+            didx, jnp.asarray(reads, I32), jnp.asarray(lens, I32),
+            int(opt.min_seed_len), int(opt.max_mem_intv))
+        hits = np.asarray(hits)
+        nh = np.asarray(nh)
+        for ri in range(B):
+            per_read[ri].extend(hits[ri, :int(nh[ri])])
+    out = []
+    for ri in range(B):
+        if per_read[ri]:
+            arr = np.stack([np.asarray(r, np.int64) for r in per_read[ri]])
+            order = np.lexsort((arr[:, 4], arr[:, 3]))
+            out.append(arr[order])
+        else:
+            out.append(np.zeros((0, 5), np.int64))
+    return out

@@ -94,9 +94,11 @@ def _scalar_sa(fmi: FMIndex, intv: BwtIntv, max_occ: int):
 
 def mem_chain(opt: MemOpt, fmi: FMIndex, q: np.ndarray,
               intvs: Optional[List[BwtIntv]] = None,
-              sa_fn: SAFn = _scalar_sa) -> List[Chain]:
-    """Collect SMEMs -> SA positions -> chains. ``intvs``/``sa_fn`` let
-    the device pipeline inject batched seeding/SA results."""
+              sa_fn: SAFn = _scalar_sa,
+              positions: Optional[List[np.ndarray]] = None) -> List[Chain]:
+    """Collect SMEMs -> SA positions -> chains. ``intvs`` (+ optional
+    precomputed, already-subsampled ``positions`` per interval) let the
+    device pipeline inject batched seeding/SA-lookup results."""
     length = len(q)
     if length < opt.min_seed_len:
         return []
@@ -119,9 +121,13 @@ def mem_chain(opt: MemOpt, fmi: FMIndex, q: np.ndarray,
 
     chains: List[Chain] = []
     keys: List[int] = []  # sorted chain anchor positions
-    for p in intvs:
+    for pi, p in enumerate(intvs):
         slen = p.qe - p.qb
-        for rbeg, _rank in sa_fn(fmi, p, opt.max_occ):
+        if positions is not None:
+            occ_list = [(int(r), 0) for r in positions[pi]]
+        else:
+            occ_list = sa_fn(fmi, p, opt.max_occ)
+        for rbeg, _rank in occ_list:
             s = Seed(rbeg=rbeg, qbeg=p.qb, len=slen, score=slen)
             rid = fmi.bnt.intv2rid(s.rbeg, s.rbeg + s.len)
             if rid < 0:

@@ -69,7 +69,29 @@ def hash_64(key: int) -> int:
 
 def chain2aln(opt: MemOpt, bnt: BntSeq, l_query: int, query: np.ndarray,
               c: Chain, av: List[AlnReg], mat: np.ndarray) -> None:
-    """Extend each worthy seed of chain c left+right; append regions."""
+    """Extend each worthy seed of chain c left+right; append regions.
+    Scalar driver: runs the shared extension plan with the scalar
+    kernel (the CPU-fallback role, SURVEY.md §2 row 17)."""
+    gen = extension_plan(opt, bnt, l_query, query, c, av)
+    try:
+        job = next(gen)
+        while True:
+            r = ksw_extend(job[0], job[1], job[2], job[3], mat,
+                           opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                           job[4], job[5], opt.zdrop, job[6])
+            job = gen.send(r)
+    except StopIteration:
+        return
+
+
+def extension_plan(opt: MemOpt, bnt: BntSeq, l_query: int,
+                   query: np.ndarray, c: Chain, av: List[AlnReg]):
+    """Generator form of mem_chain2aln: yields extension jobs
+    (qlen, q, tlen, t, w, end_bonus, h0) and receives KswExt results;
+    mutates av in place.  Both the scalar driver above and the batched
+    device wave dispatcher (device/dispatch.py) drive this generator,
+    so the skip-test / band-doubling / local-vs-global logic exists
+    exactly once."""
     if not c.seeds:
         return
     l_pac = bnt.l_pac
@@ -157,9 +179,8 @@ def chain2aln(opt: MemOpt, bnt: BntSeq, l_query: int, query: np.ndarray,
             for trial in range(MAX_BAND_TRY):
                 prev = a.score
                 aw0 = opt.w << trial
-                r = ksw_extend(s.qbeg, qs, tlen_l, rs, mat, opt.o_del,
-                               opt.e_del, opt.o_ins, opt.e_ins, aw0,
-                               opt.pen_clip5, opt.zdrop, s.len * opt.a)
+                r = yield (s.qbeg, qs, tlen_l, rs, aw0, opt.pen_clip5,
+                           s.len * opt.a)
                 a.score = r.score
                 qle, tle, gtle, gscore = r.qle, r.tle, r.gtle, r.gscore
                 if a.score == prev or r.max_off < (aw0 >> 1) + (aw0 >> 2):
@@ -187,10 +208,9 @@ def chain2aln(opt: MemOpt, bnt: BntSeq, l_query: int, query: np.ndarray,
             for trial in range(MAX_BAND_TRY):
                 prev = a.score
                 aw1 = opt.w << trial
-                r = ksw_extend(l_query - qe, query[qe:],
-                               rmax1 - rmax0 - re_off, rseq[re_off:], mat,
-                               opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-                               aw1, opt.pen_clip3, opt.zdrop, sc0)
+                r = yield (l_query - qe, query[qe:],
+                           rmax1 - rmax0 - re_off, rseq[re_off:], aw1,
+                           opt.pen_clip3, sc0)
                 a.score = r.score
                 qle, tle, gtle, gscore = r.qle, r.tle, r.gtle, r.gscore
                 if a.score == prev or r.max_off < (aw1 >> 1) + (aw1 >> 2):
