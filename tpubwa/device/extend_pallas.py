@@ -29,8 +29,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 I32 = jnp.int32
 NEG = -(1 << 29)
+
+
+def _c(v):
+    # explicit i32 scalar: under x64, bare python literals trace as
+    # weak i64 scalars, which Mosaic cannot convert (infinite
+    # recursion in _convert_helper)
+    return jnp.asarray(v, I32)
 LANES = 256          # eh lanes -> qlen <= LANES - 1
-JOBS = 64            # jobs per grid step (sublanes)
+JOBS = 64            # minimum chunk (sublanes)
+CHUNK = 512          # jobs per grid-free kernel launch
+
+
+def _roll1(x, sh):
+    # pltpu.roll lowers the shift as an operand; keep it i32 (x64 mode
+    # would make a python int an i64, which tpu.dynamic_rotate rejects)
+    return pltpu.roll(x, shift=jnp.asarray(sh, I32), axis=1)
 
 
 def _prefix_max(x):
@@ -39,8 +53,8 @@ def _prefix_max(x):
     sh = 1
     cols = jax.lax.broadcasted_iota(I32, x.shape, 1)
     while sh < n:
-        shifted = pltpu.roll(x, shift=sh, axis=1)
-        x = jnp.maximum(x, jnp.where(cols >= sh, shifted, NEG))
+        shifted = _roll1(x, sh)
+        x = jnp.maximum(x, jnp.where(cols >= _c(sh), shifted, _c(NEG)))
         sh <<= 1
     return x
 
@@ -58,17 +72,19 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
     ebon = p_ref[:, 4:5]
 
     q = q_ref[:, :]
-    qpad = jnp.where(lane < qlen, q, 4)
+    qpad = jnp.where(lane < qlen, q, _c(4))
+    t_all = t_ref[:, :]
+    tlane = jax.lax.broadcasted_iota(I32, t_all.shape, 1)
     # band cap (w = min(w, max_ins, max_del); mat max = a)
-    max_ins = jnp.maximum((qlen * a + ebon - o_ins) // e_ins + 1, 1)
-    max_del = jnp.maximum((qlen * a + ebon - o_del) // e_del + 1, 1)
+    max_ins = jnp.maximum((qlen * a + ebon - o_ins) // _c(e_ins) + 1, _c(1))
+    max_del = jnp.maximum((qlen * a + ebon - o_del) // _c(e_del) + 1, _c(1))
     ww = jnp.minimum(jnp.minimum(w_in, max_ins), max_del)
 
     # first row of the shifted eh arrays: eh_h[j] = H(-1, j-1)
     ramp = h0 - oe_ins - (lane - 1) * e_ins
-    eh_h = jnp.where(lane == 0, jnp.broadcast_to(h0, (J, LANES)),
-                     jnp.maximum(ramp, 0))
-    eh_h = jnp.where(lane <= qlen, eh_h, 0)
+    eh_h = jnp.where(lane == _c(0), jnp.broadcast_to(h0, (J, LANES)),
+                     jnp.maximum(ramp, _c(0)))
+    eh_h = jnp.where(lane <= qlen, eh_h, _c(0))
     eh_e = jnp.zeros((J, LANES), I32)
 
     zero1 = jnp.zeros((J, 1), I32)
@@ -77,60 +93,66 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
     def cond(c):
         (i, eh_h, eh_e, beg, end, best, max_i, max_j, max_ie, gscore,
          max_off, dead) = c
-        return (i < tile_tmax) & jnp.logical_not(jnp.all(dead))
+        # dead is i32 0/1; jnp.all on bools lowers through an f64
+        # reduction in Mosaic — use an integer min instead
+        return (i < tile_tmax) & (jnp.min(dead) == _c(0))
 
     def body(c):
         (i, eh_h, eh_e, beg, end, best, max_i, max_j, max_ie, gscore,
          max_off, dead) = c
-        act = jnp.logical_not(dead) & (i < tlen)          # [J,1]
+        act = (dead == _c(0)) & (i < tlen)                # [J,1]
         beg_i = jnp.maximum(beg, i - ww)
         end_i = jnp.minimum(jnp.minimum(end, i + ww + 1), qlen)
         closed = beg_i >= end_i
         h1_first = jnp.where(
-            beg_i == 0, jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0),
-            0)
-        tb = t_ref[:, pl.ds(i, 1)]                         # [J,1] wrong: i traced
+            beg_i == _c(0),
+            jnp.maximum(h0 - (o_del + e_del * (i + 1)), _c(0)), _c(0))
+        # dynamic lane-slice inside while_loop crashes Mosaic; read the
+        # target base via a masked reduction over the resident t block
+        tb = jnp.sum(jnp.where(tlane == i, t_all, _c(0)), axis=1,
+                     keepdims=True, dtype=I32)
         # score profile: match=a, mismatch=-b, N(either side)=-1
         isn = (tb > 3) | (qpad > 3)
-        prof = jnp.where(isn, -1, jnp.where(tb == qpad, a, -b))
+        prof = jnp.where(isn, _c(-1), jnp.where(tb == qpad, _c(a), _c(-b)))
         in_band = (lane >= beg_i) & (lane < end_i)
         Hdiag = eh_h
-        M = jnp.where(Hdiag != 0, Hdiag + prof, 0)
-        M = jnp.where(in_band, M, NEG)
-        E = jnp.where(in_band, eh_e, NEG)
+        M = jnp.where(Hdiag != _c(0), Hdiag + prof, _c(0))
+        M = jnp.where(in_band, M, _c(NEG))
+        E = jnp.where(in_band, eh_e, _c(NEG))
         he = jnp.maximum(M, E)
-        t_ins = jnp.where(in_band, jnp.maximum(M - oe_ins, 0), NEG)
+        t_ins = jnp.where(in_band, jnp.maximum(M - oe_ins, _c(0)), _c(NEG))
         pm = _prefix_max(t_ins + lane * e_ins)
-        pm1 = pltpu.roll(pm, shift=1, axis=1)
-        F = jnp.where(lane >= 1, pm1 - (lane - 1) * e_ins, NEG)
-        F = jnp.where(lane == beg_i, 0, F)
+        pm1 = _roll1(pm, 1)
+        F = jnp.where(lane >= _c(1), pm1 - (lane - 1) * e_ins, _c(NEG))
+        F = jnp.where(lane == beg_i, _c(0), F)
         H = jnp.maximum(he, F)
-        H = jnp.where(in_band, jnp.maximum(H, 0), 0)
-        m = jnp.max(jnp.where(in_band, H, NEG), axis=1, keepdims=True)
-        m = jnp.maximum(m, 0)
-        mj = jnp.max(jnp.where(in_band & (H == m), lane, -1), axis=1,
+        H = jnp.where(in_band, jnp.maximum(H, _c(0)), _c(0))
+        m = jnp.max(jnp.where(in_band, H, _c(NEG)), axis=1, keepdims=True)
+        m = jnp.maximum(m, _c(0))
+        mj = jnp.max(jnp.where(in_band & (H == m), lane, _c(-1)), axis=1,
                      keepdims=True)
-        t_del = jnp.maximum(M - oe_del, 0)
+        t_del = jnp.maximum(M - oe_del, _c(0))
         Enew = jnp.maximum(eh_e - e_del, t_del)
         # write-backs
         upd = act & jnp.logical_not(closed)
-        Hroll = pltpu.roll(H, shift=1, axis=1)
+        Hroll = _roll1(H, 1)
         wm_h = (lane > beg_i) & (lane <= end_i)
         eh_h = jnp.where(upd & wm_h, Hroll, eh_h)
         eh_h = jnp.where(upd & (lane == beg_i), h1_first, eh_h)
         eh_e = jnp.where(upd & in_band, Enew, eh_e)
-        eh_e = jnp.where(upd & (lane == end_i), 0, eh_e)
+        eh_e = jnp.where(upd & (lane == end_i), _c(0), eh_e)
         cl = act & closed
         eh_h = jnp.where(cl & (lane == end_i), h1_first, eh_h)
-        eh_e = jnp.where(cl & (lane == end_i), 0, eh_e)
-        h_open = jnp.sum(jnp.where(lane == end_i - 1, H, 0), axis=1,
-                         keepdims=True)
-        h_last = jnp.where(closed, h1_first, h_open)
+        eh_e = jnp.where(cl & (lane == end_i), _c(0), eh_e)
+        h_open = jnp.sum(jnp.where(lane == end_i - _c(1), H, _c(0)), axis=1,
+                         keepdims=True, dtype=I32)
+        h_last = jnp.where(closed, h1_first, h_open).astype(I32)
         at_qend = act & (end_i == qlen) & (h_last >= gscore)
         max_ie = jnp.where(at_qend, i, max_ie)
         gscore = jnp.where(at_qend, h_last, gscore)
-        dead = dead | (act & (closed | (m == 0)))
-        alive = act & jnp.logical_not(closed) & (m != 0)
+        dead = jnp.maximum(dead,
+                           (act & (closed | (m == _c(0)))).astype(I32))
+        alive = act & jnp.logical_not(closed) & (m != _c(0))
         better = alive & (m > best)
         off = jnp.abs(mj - i)
         max_off = jnp.where(better, jnp.maximum(max_off, off), max_off)
@@ -139,22 +161,25 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
         if zdrop > 0:
             di = i - max_i
             dj = mj - max_j
-            zd = jnp.where(di > dj,
-                           best - m - (di - dj) * e_del > zdrop,
-                           best - m - (dj - di) * e_ins > zdrop)
-            dead = dead | (alive & jnp.logical_not(better) & zd)
+            # select on booleans crashes Mosaic; compute the penalized
+            # drop arithmetically and compare once
+            dd = jnp.where(di > dj, (di - dj) * e_del, (dj - di) * e_ins)
+            zd = (best - m - dd) > _c(zdrop)
+            dead = jnp.maximum(
+                dead,
+                (alive & jnp.logical_not(better) & zd).astype(I32))
         best = jnp.where(better, m, best)
         max_i, max_j = max_i_n, max_j_n
         # adaptive band trim on the updated arrays
-        nz = (eh_h != 0) | (eh_e != 0)
+        nz = (eh_h != _c(0)) | (eh_e != _c(0))
         in_sc = (lane >= beg_i) & (lane < end_i)
-        first_nz = jnp.min(jnp.where(in_sc & nz, lane, LANES + 2),
+        first_nz = jnp.min(jnp.where(in_sc & nz, lane, _c(LANES + 2)),
                            axis=1, keepdims=True)
         beg_n = jnp.minimum(first_nz, end_i)
         in_s2 = (lane >= beg_n) & (lane <= end_i)
-        last_nz = jnp.max(jnp.where(in_s2 & nz, lane, NEG), axis=1,
+        last_nz = jnp.max(jnp.where(in_s2 & nz, lane, _c(NEG)), axis=1,
                           keepdims=True)
-        j_dn = jnp.where(last_nz == NEG, beg_n - 1, last_nz)
+        j_dn = jnp.where(last_nz == _c(NEG), beg_n - _c(1), last_nz)
         end_n = jnp.minimum(j_dn + 2, qlen)
         beg = jnp.where(alive, beg_n, beg)
         end = jnp.where(alive, end_n, end)
@@ -162,10 +187,10 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
                 max_ie, gscore, max_off, dead)
 
     init = (jnp.zeros((), I32), eh_h, eh_e, zero1, qlen + 0, h0 + 0,
-            zero1 - 1, zero1 - 1, zero1 - 1, zero1 - 1, zero1,
-            jnp.zeros((J, 1), bool))
+            zero1 - 1, zero1 - 1, zero1 - 1, zero1 - 1, zero1, zero1)
+    state = jax.lax.while_loop(cond, body, init)
     (_, eh_h, eh_e, beg, end, best, max_i, max_j, max_ie, gscore,
-     max_off, dead) = jax.lax.while_loop(cond, body, init)
+     max_off, dead) = state
     res = jnp.concatenate(
         [best, max_j + 1, max_i + 1, max_ie + 1, gscore, max_off,
          jnp.zeros((J, 128 - 6), I32)], axis=1)
@@ -178,29 +203,24 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
                      "zdrop", "tmax", "interpret"))
 def extend_batch_pallas(q, t, params, a, b, o_del, e_del, o_ins, e_ins,
                         zdrop, tmax, interpret=False):
-    """q: int32 [N, LANES]; t: int32 [N, tmax]; params: int32 [N, 128]
-    (lanes 0..4 = qlen, tlen, h0, w, end_bonus).  N % JOBS == 0.
-    Returns int32 [N, 128] (lanes 0..5 = score,qle,tle,gtle,gscore,
-    max_off)."""
-    N = q.shape[0]
-    grid = (N // JOBS,)
+    """One grid-free kernel launch over a padded job chunk.
+
+    q: int32 [N, LANES]; t: int32 [N, tmax]; params: int32 [N, 128]
+    (lanes 0..4 = qlen, tlen, h0, w, end_bonus).  Returns int32
+    [N, 128] (lanes 0..5 = score, qle, tle, gtle, gscore, max_off).
+
+    NOTE: a while_loop inside a GRIDDED pallas kernel crashes this
+    Mosaic toolchain; we launch grid-free over whole VMEM-resident
+    chunks instead and chunk on the host (see extend_batch_pallas_np).
+    """
     kernel = functools.partial(
         _extend_kernel, a=a, b=b, o_del=o_del, e_del=e_del, o_ins=o_ins,
         e_ins=e_ins, zdrop=zdrop, tmax=tmax)
     return pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((JOBS, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((JOBS, t.shape[1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((JOBS, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((JOBS, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, 128), I32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q.shape[0], 128), I32),
         interpret=interpret,
     )(q, t, params)
 
@@ -222,7 +242,9 @@ def _mat_ab(mat):
 def extend_batch_pallas_np(jobs, mat, o_del, e_del, o_ins, e_ins, zdrop,
                            qmax, tmax, interpret=None):
     """Dispatch-layer adapter: list of job dicts -> 6 result arrays.
-    Falls back to the XLA path for non-scmat matrices or oversize."""
+    Sorts jobs by target length, pads to chunk buckets, launches the
+    grid-free kernel per chunk.  Falls back to the XLA path for
+    non-scmat matrices or oversize jobs."""
     ab = _mat_ab(mat)
     if ab is None or qmax > LANES - 1:
         from .extend import extend_batch_np
@@ -232,20 +254,25 @@ def extend_batch_pallas_np(jobs, mat, o_del, e_del, o_ins, e_ins, zdrop,
         interpret = jax.default_backend() not in ("tpu",)
     n = len(jobs)
     order = sorted(range(n), key=lambda i: -len(jobs[i]["t"]))
-    N = ((n + JOBS - 1) // JOBS) * JOBS
+    N = JOBS if n <= JOBS else ((n + CHUNK - 1) // CHUNK) * CHUNK
     q = np.full((N, LANES), 4, np.int32)
     t = np.full((N, tmax), 4, np.int32)
     p = np.zeros((N, 128), np.int32)
-    p[:, 2] = 1  # h0 for padding jobs (assert h0 > 0)
+    p[:, 2] = 1  # h0 for padding jobs (kernel assumes h0 > 0)
     for slot, i in enumerate(order):
         j = jobs[i]
         ql, tl = len(j["q"]), len(j["t"])
         q[slot, :ql] = j["q"]
         t[slot, :tl] = j["t"]
         p[slot, :5] = (ql, tl, j["h0"], j["w"], j["end_bonus"])
-    res = np.asarray(extend_batch_pallas(
-        jnp.asarray(q), jnp.asarray(t), jnp.asarray(p), ab[0], ab[1],
-        o_del, e_del, o_ins, e_ins, zdrop, tmax, interpret))
+    step = N if N <= JOBS else CHUNK
+    chunks = []
+    for off in range(0, N, step):
+        chunks.append(np.asarray(extend_batch_pallas(
+            jnp.asarray(q[off:off + step]), jnp.asarray(t[off:off + step]),
+            jnp.asarray(p[off:off + step]), ab[0], ab[1], o_del, e_del,
+            o_ins, e_ins, zdrop, tmax, interpret)))
+    res = np.concatenate(chunks, axis=0)
     out = np.zeros((6, n), np.int32)
     for slot, i in enumerate(order):
         out[:, i] = res[slot, :6]
