@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""tpubwa benchmark — run on the real TPU chip by the round driver.
+
+Measures end-to-end paired-end alignment throughput (the BASELINE.json
+headline: reads/sec/chip, 100bp PE) on a synthetic bacterial-scale
+genome, plus the raw Pallas extension-kernel GCUPS (printed to stderr).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "reads/s",
+   "vs_baseline": N / 160000}
+vs_baseline divides by the stock bwa-mem 32-core Xeon estimate from
+SURVEY.md §6 (~1.6e5 reads/s); the BASELINE target is >= 1.5x => 240k.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_READS_PER_S = 160_000.0  # 32-core Xeon stock bwa-mem (SURVEY §6)
+
+
+def build_index(tmpdir, genome_len=1_000_000, seed=3):
+    from tpubwa.index import FMIndex
+    from tpubwa.index.build import BntSeq, SeqAnn
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, genome_len).astype(np.uint8)
+    bnt = BntSeq(l_pac=genome_len,
+                 anns=[SeqAnn(name="chrB", anno="", offset=0,
+                              length=genome_len, n_ambs=0)],
+                 ambs=[], seed=11, codes=codes)
+    return FMIndex.build(bnt), codes
+
+
+def simulate(codes, n_pairs, read_len, rng):
+    from tpubwa.io.fastq import Read
+    reads = []
+    L = len(codes)
+    for i in range(n_pairs):
+        isize = max(int(rng.normal(350, 30)), read_len * 2 + 10)
+        pos = int(rng.integers(0, L - isize - 2))
+        r1 = codes[pos:pos + read_len].copy()
+        r2 = (3 - codes[pos + isize - read_len:pos + isize])[::-1].copy()
+        for r in (r1, r2):
+            mut = rng.random(read_len) < 0.01
+            r[mut] = (r[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        reads.append(Read(name=f"p{i}", seq=r1, qual=None))
+        reads.append(Read(name=f"p{i}", seq=r2, qual=None))
+    return reads
+
+
+def kernel_gcups(log):
+    """Raw Pallas extension kernel throughput (dense 100x200 jobs)."""
+    import jax
+    import jax.numpy as jnp
+    from tpubwa.device.extend_pallas import extend_batch_pallas, LANES
+    rng = np.random.default_rng(0)
+    N, QL, TL, TMAX = 512, 100, 200, 256
+    tpl = rng.integers(0, 4, TL + N).astype(np.int32)
+    q = np.full((N, LANES), 4, np.int32)
+    t = np.full((N, TMAX), 4, np.int32)
+    p = np.zeros((N, 128), np.int32)
+    for i in range(N):
+        t[i, :TL] = tpl[i:i + TL]
+        q[i, :QL] = tpl[i:i + QL]
+        p[i, :5] = (QL, TL, 60, 100, 5)
+    dev = jax.devices()[0]
+    qj, tj, pj = (jax.device_put(jnp.asarray(x), dev) for x in (q, t, p))
+    interp = jax.default_backend() not in ("tpu",)
+    r = extend_batch_pallas(qj, tj, pj, 1, 4, 6, 1, 6, 1, 100, TMAX,
+                            interp)
+    r.block_until_ready()
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        r = extend_batch_pallas(qj, tj, pj, 1, 4, 6, 1, 6, 1, 100,
+                                TMAX, interp)
+    r.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    gcups = N * QL * TL / dt / 1e9
+    log(f"[bench] extension kernel: {dt * 1e3:.2f} ms / {N} jobs "
+        f"=> {gcups:.1f} GCUPS (device-resident)")
+    return gcups
+
+
+def main():
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    t_all = time.time()
+    from tpubwa.opts import MEM_F_PE, MemOpt
+    from tpubwa.host.pipeline import process_seqs
+
+    fmi, codes = build_index("/tmp")
+    log(f"[bench] index built: {fmi.seq_len} bp doubled, "
+        f"{time.time() - t_all:.1f}s")
+
+    opt = MemOpt(flag=MEM_F_PE)
+    rng = np.random.default_rng(1)
+    gcups = 0.0
+    try:
+        from tpubwa.device.pipeline import make_device_aligner
+        aligner = make_device_aligner(opt, fmi, platform="auto")
+        gcups = kernel_gcups(log)
+    except Exception as e:  # pragma: no cover
+        log(f"[bench] device unavailable ({e}); scalar path")
+        aligner = None
+
+    # warmup (compiles all device program shapes)
+    warm = simulate(codes, 128, 100, rng)
+    t0 = time.time()
+    process_seqs(opt, fmi, warm, 0, align_fn=aligner)
+    log(f"[bench] warmup batch (compiles): {time.time() - t0:.1f}s")
+
+    n_pairs = 1000
+    batch = simulate(codes, n_pairs, 100, rng)
+    t0 = time.perf_counter()
+    lines = process_seqs(opt, fmi, batch, 0, align_fn=aligner)
+    dt = time.perf_counter() - t0
+    reads_per_s = len(batch) / dt
+    log(f"[bench] {len(batch)} PE reads in {dt:.2f}s "
+        f"({reads_per_s:.0f} reads/s), {len(lines)} SAM records, "
+        f"total wall {time.time() - t_all:.0f}s")
+    print(json.dumps({
+        "metric": "reads/sec/chip (100bp PE, synthetic 1Mb genome)",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -179,8 +179,12 @@ def extend_batch(q: jnp.ndarray, t: jnp.ndarray, qlen: jnp.ndarray,
 
 def extend_batch_np(jobs, mat, o_del, e_del, o_ins, e_ins, zdrop,
                     qmax, tmax):
-    """Convenience wrapper: list of dict jobs -> numpy result tuple."""
-    N = len(jobs)
+    """Convenience wrapper: list of dict jobs -> numpy result tuple.
+    Pads the job count to pow2 buckets so wave sizes don't retrace."""
+    n_real = len(jobs)
+    N = 64
+    while N < n_real:
+        N <<= 1
     q = np.full((N, qmax), 4, np.int32)
     t = np.full((N, tmax), 4, np.int32)
     qlen = np.zeros(N, np.int32)
@@ -202,4 +206,4 @@ def extend_batch_np(jobs, mat, o_del, e_del, o_ins, e_ins, zdrop,
                        jnp.asarray(h0), jnp.asarray(w), jnp.asarray(eb),
                        jnp.asarray(mat, dtype=I32), o_del, e_del, o_ins,
                        e_ins, zdrop, qmax, tmax)
-    return tuple(np.asarray(x) for x in out)
+    return tuple(np.asarray(x)[:n_real] for x in out)
