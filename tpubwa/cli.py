@@ -82,6 +82,17 @@ def _add_mem_opts(ap: argparse.ArgumentParser) -> None:
                     help="mean[,std[,max[,min]]] insert size override")
     ap.add_argument("-v", type=int, default=3, dest="verbosity")
     ap.add_argument("-K", type=int, default=None, dest="chunk_size")
+    ap.add_argument("-o", default=None, dest="out_file")
+    ap.add_argument("--shard", default=None,
+                    help="I/N: process the I-th of N deterministic "
+                         "record-range shards (multi-host mode)")
+    ap.add_argument("--journal", default=None,
+                    help="checkpoint journal for resumable runs "
+                         "(requires -o)")
+    ap.add_argument("--metrics", default=None,
+                    help="append JSONL metrics to this file")
+    ap.add_argument("--profile-dir", default=None, dest="profile_dir",
+                    help="write a jax.profiler trace here")
     ap.add_argument("--device", default="auto",
                     choices=["auto", "tpu", "cpu", "scalar"],
                     help="compute path for seeding/extension")
@@ -140,6 +151,24 @@ def _parse_rg_id(rg_line: str) -> str:
     return ""
 
 
+def parse_insert_spec(spec: str):
+    """-I mean[,std[,max[,min]]] -> fixed FR insert distribution
+    (fastmap.c:~170 semantics: std defaults to 10% of mean, high/low
+    default to mean +- 4*std)."""
+    from .host.pair import PEStat
+    parts = [float(x) for x in spec.split(",")]
+    pes = [PEStat() for _ in range(4)]
+    fr = pes[1]
+    fr.failed = 0
+    fr.avg = parts[0]
+    fr.std = parts[1] if len(parts) > 1 else fr.avg * 0.1
+    fr.high = int(parts[2] + 0.499) if len(parts) > 2 \
+        else int(fr.avg + 4.0 * fr.std + 0.499)
+    fr.low = int(parts[3] + 0.499) if len(parts) > 3 \
+        else max(int(fr.avg - 4.0 * fr.std + 0.499), 1)
+    return pes
+
+
 def main_mem(argv, out=None) -> int:
     ap = argparse.ArgumentParser(prog="tpubwa mem")
     _add_mem_opts(ap)
@@ -148,7 +177,15 @@ def main_mem(argv, out=None) -> int:
     ap.add_argument("mates", nargs="?", default=None)
     args = ap.parse_args(argv)
     opt = build_opt(args)
-    out = out if out is not None else sys.stdout
+    close_out = False
+    if out is None:
+        if args.out_file:
+            # journaled runs must not clobber a resumable output
+            mode = "a" if args.journal else "w"
+            out = open(args.out_file, mode)
+            close_out = True
+        else:
+            out = sys.stdout
     fmi = load_index(args.prefix)
     from .host.pipeline import process_seqs, sam_header
 
@@ -157,11 +194,39 @@ def main_mem(argv, out=None) -> int:
         opt = opt.replace(flag=opt.flag | MEM_F_PE)
     rg_id = _parse_rg_id(args.rg_line) if args.rg_line else ""
     cl = "tpubwa mem " + " ".join(argv)
-    out.write(sam_header(fmi, args.rg_line, cl, __version__))
+    from .utils import Journal, MetricsWriter, StageTimers, maybe_profile
+    timers = StageTimers()
+    metrics = MetricsWriter(args.metrics)
+    journal = None
+    if args.journal:
+        if not args.out_file:
+            ap.error("--journal requires -o")
+        journal = Journal.load(args.journal)
+        out.close()
+        keep = max(journal.bytes_done, 0)
+        with open(args.out_file, "a") as fh:
+            pass  # ensure it exists
+        with open(args.out_file, "r+") as fh:
+            fh.truncate(keep)
+        out = open(args.out_file, "a")
+        if journal.bytes_done >= 0:
+            log.info("[resume] %d batches (%d reads) already done",
+                     journal.done_batches, journal.reads_done)
+    if journal is None or journal.bytes_done < 0:
+        out.write(sam_header(fmi, args.rg_line, cl, __version__))
 
-    readers = [FastqReader(args.reads)]
-    if args.mates:
-        readers.append(FastqReader(args.mates))
+    pes0 = parse_insert_spec(args.insert_spec) if args.insert_spec \
+        else None
+    if args.shard:
+        shard_i, shard_n = (int(x) for x in args.shard.split("/"))
+        from .dist.records import shard_readers
+        readers = shard_readers([args.reads] + 
+                                ([args.mates] if args.mates else []),
+                                shard_i, shard_n)
+    else:
+        readers = [FastqReader(args.reads)]
+        if args.mates:
+            readers.append(FastqReader(args.mates))
     align_fn = None
     if args.device in ("auto", "tpu", "cpu"):
         try:
@@ -171,22 +236,75 @@ def main_mem(argv, out=None) -> int:
             if args.device != "auto":
                 raise
             log.warning("device path unavailable (%s); scalar fallback", e)
-    n_processed = 0
+    base_offset = getattr(readers[0], "global_offset", 0)
+    n_processed = base_offset
     chunk = opt.chunk_size * opt.n_threads
     t0 = time.time()
-    while True:
-        batch = read_fastq_batch(readers, chunk,
-                                 smart_pairing=args.smart_pairing)
-        if not batch:
-            break
-        lines = process_seqs(opt, fmi, batch, n_processed,
-                             rg_id=rg_id, align_fn=align_fn)
-        out.write("\n".join(lines) + "\n")
-        n_processed += len(batch)
-        log.info("[M::mem] processed %d reads (%.1f reads/s)",
-                 n_processed, n_processed / (time.time() - t0))
+    batch_id = 0
+    skipped = 0
+    resume_reads = journal.reads_done if journal is not None else 0
+    with maybe_profile(args.profile_dir):
+        while True:
+            with timers.stage("read"):
+                batch = read_fastq_batch(readers, chunk,
+                                         smart_pairing=args.smart_pairing)
+            if not batch:
+                break
+            if journal is not None and skipped < resume_reads:
+                skipped += len(batch)
+                n_processed += len(batch)
+                batch_id += 1
+                continue
+            with timers.stage("align"):
+                lines = process_seqs(opt, fmi, batch, n_processed,
+                                     rg_id=rg_id, align_fn=align_fn,
+                                     pes0=pes0)
+            with timers.stage("write"):
+                out.write("\n".join(lines) + "\n")
+                out.flush()
+            n_processed += len(batch)
+            done = n_processed - base_offset
+            rate = done / (time.time() - t0)
+            log.info("[M::mem] processed %d reads (%.1f reads/s)",
+                     done, rate)
+            metrics.emit(event="batch", batch=batch_id,
+                         reads=len(batch), reads_per_s=round(rate, 1))
+            if journal is not None:
+                journal.mark(batch_id, done, out.tell())
+            batch_id += 1
     for r in readers:
         r.close()
+    log.info("[M::mem] stage times: %s", timers.report())
+    log.info("%s", timers.final_lines())
+    metrics.emit(event="done", reads=n_processed - base_offset,
+                 **{k: round(v, 3) for k, v in timers.wall.items()})
+    metrics.close()
+    if close_out:
+        out.close()
+    return 0
+
+
+def main_merge(argv) -> int:
+    """Deterministic shard merge: bodies concatenated in argument
+    order under the first shard's header (SURVEY.md §5.8)."""
+    ap = argparse.ArgumentParser(prog="tpubwa merge")
+    ap.add_argument("-o", dest="out_file", default=None)
+    ap.add_argument("shards", nargs="+")
+    args = ap.parse_args(argv)
+    out = open(args.out_file, "w") if args.out_file else sys.stdout
+    with open(args.shards[0]) as fh:
+        for line in fh:
+            if line.startswith("@"):
+                out.write(line)
+            else:
+                break
+    for path in args.shards:
+        with open(path) as fh:
+            for line in fh:
+                if not line.startswith("@"):
+                    out.write(line)
+    if args.out_file:
+        out.close()
     return 0
 
 
@@ -229,7 +347,7 @@ def main(argv=None) -> int:
     if not argv:
         sys.stderr.write(
             f"Program: tpubwa (TPU-native BWA-MEM)\nVersion: {__version__}\n"
-            "Usage: tpubwa <index|mem|fastmap> [options]\n")
+            "Usage: tpubwa <index|mem|fastmap|merge> [options]\n")
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "index":
@@ -238,6 +356,8 @@ def main(argv=None) -> int:
         return main_mem(rest)
     if cmd == "fastmap":
         return main_fastmap(rest)
+    if cmd == "merge":
+        return main_merge(rest)
     sys.stderr.write(f"[main] unrecognized command '{cmd}'\n")
     return 1
 

@@ -58,9 +58,12 @@ def sam_header(fmi: FMIndex, rg_line: Optional[str], pg_cl: str,
 def process_seqs(opt: MemOpt, fmi: FMIndex, reads: Sequence[Read],
                  n_processed: int, mat: Optional[np.ndarray] = None,
                  rg_id: str = "",
-                 align_fn: Optional[Callable] = None) -> List[str]:
+                 align_fn: Optional[Callable] = None,
+                 pes0=None) -> List[str]:
     """mem_process_seqs: batch -> SAM lines (order == input order).
-    Handles SE and PE (MEM_F_PE) modes."""
+    Handles SE and PE (MEM_F_PE) modes.  ``pes0``: fixed insert-size
+    distribution (-I), bypassing per-batch inference (§3.2: chunk
+    granularity otherwise affects PE output, as in stock bwa)."""
     if mat is None:
         mat = opt.scoring_matrix()
     t0 = time.perf_counter()
@@ -70,7 +73,8 @@ def process_seqs(opt: MemOpt, fmi: FMIndex, reads: Sequence[Read],
     out: List[str] = []
     if opt.flag & MEM_F_PE:
         from .pair import sam_pe, pestat
-        pes = pestat(opt, fmi.bnt.l_pac, all_regs)
+        pes = pes0 if pes0 is not None else \
+            pestat(opt, fmi.bnt.l_pac, all_regs)
         for i in range(0, len(reads), 2):
             pair_id = (n_processed >> 1) + (i >> 1)
             out.extend(sam_pe(opt, fmi, pes, pair_id,

@@ -1,0 +1,71 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+The reference keeps its performance-critical runtime in C (is.c SAIS,
+kseq.h FASTQ, ksw.c fallback); this package provides the TPU
+framework's equivalents, compiled on demand with g++ into a cache
+directory (no pip/pybind dependency).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_CACHE = Path(os.environ.get("TPUBWA_NATIVE_CACHE",
+                             Path.home() / ".cache" / "tpubwa"))
+
+
+def _build(src_name: str, tag: str) -> Path:
+    src = _DIR / src_name
+    code = src.read_bytes()
+    h = hashlib.sha256(code).hexdigest()[:16]
+    _CACHE.mkdir(parents=True, exist_ok=True)
+    so = _CACHE / f"{tag}-{h}.so"
+    if not so.exists():
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+               "-std=c++17", str(src), "-o", str(so) + ".tmp"]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(str(so) + ".tmp", so)
+    return so
+
+
+_sais_lib = None
+
+
+def _load_sais():
+    global _sais_lib
+    if _sais_lib is None:
+        lib = ctypes.CDLL(str(_build("sais.cpp", "sais")))
+        lib.tpubwa_sais_u8.restype = ctypes.c_int
+        lib.tpubwa_sais_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+        _sais_lib = lib
+    return _sais_lib
+
+
+def sais_int(codes: np.ndarray) -> np.ndarray:
+    """Suffix array of codes (values 0..3) + implicit sentinel;
+    returns int64[n+1] with sa[0] == n.  C SA-IS fast path for
+    tpubwa.index.sa.suffix_array."""
+    lib = _load_sais()
+    n = len(codes)
+    text = np.empty(n + 1, dtype=np.uint8)
+    text[:n] = codes + 1  # shift so the appended sentinel 0 is unique
+    text[n] = 0
+    sa = np.empty(n + 1, dtype=np.int64)
+    rc = lib.tpubwa_sais_u8(
+        text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n + 1),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(int(text.max()) + 1))
+    if rc != 0:
+        raise RuntimeError(f"sais failed: {rc}")
+    return sa

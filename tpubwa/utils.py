@@ -1,0 +1,134 @@
+"""Observability + checkpoint/resume (SURVEY.md §5.1, §5.4, §5.5).
+
+The reference's tracing is stderr '[M::func]' progress lines and final
+real/CPU timers (utils.c:cputime/realtime, fastmap.c:~340); here the
+same greppable style is kept, plus structured per-stage timers, an
+optional JSONL metrics stream, and a jax.profiler trace hook.
+
+Checkpoint/resume (absent in the reference — reruns from scratch) is
+batch-granular: a journal records (batch_id, reads consumed, bytes
+written); resume truncates the output to the last complete batch and
+skips the consumed reads.  State is nothing but the index, so this is
+cheap and exact.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import logging
+import os
+import resource
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+log = logging.getLogger("tpubwa")
+
+
+def cputime() -> float:
+    """utils.c:cputime — user+sys seconds of this process."""
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    return ru.ru_utime + ru.ru_stime
+
+
+@dataclass
+class StageTimers:
+    """Accumulating per-stage wall timers + counters."""
+    wall: Dict[str, float] = field(default_factory=dict)
+    counts: Dict[str, float] = field(default_factory=dict)
+    t_start: float = field(default_factory=time.time)
+    cpu_start: float = field(default_factory=cputime)
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.wall[name] = self.wall.get(name, 0.0) \
+                + time.perf_counter() - t0
+
+    def bump(self, name: str, n: float = 1) -> None:
+        self.counts[name] = self.counts.get(name, 0) + n
+
+    def report(self) -> str:
+        parts = [f"{k}={v:.2f}s" for k, v in sorted(self.wall.items())]
+        parts += [f"{k}={v:g}" for k, v in sorted(self.counts.items())]
+        return " ".join(parts)
+
+    def final_lines(self) -> str:
+        """bwa's closing '[main] Real time: ...' format."""
+        return (f"[main] Real time: {time.time() - self.t_start:.3f} sec; "
+                f"CPU: {cputime() - self.cpu_start:.3f} sec")
+
+
+class MetricsWriter:
+    """Optional JSONL metrics stream (reads/s, GCUPS, wave occupancy)."""
+
+    def __init__(self, path: Optional[str]):
+        self.fh = open(path, "a") if path else None
+
+    def emit(self, **kv) -> None:
+        if self.fh:
+            kv.setdefault("ts", time.time())
+            self.fh.write(json.dumps(kv) + "\n")
+            self.fh.flush()
+
+    def close(self):
+        if self.fh:
+            self.fh.close()
+
+
+@contextlib.contextmanager
+def maybe_profile(profile_dir: Optional[str]):
+    """jax.profiler trace around the hot region (--profile-dir)."""
+    if not profile_dir:
+        yield
+        return
+    import jax
+    with jax.profiler.trace(profile_dir):
+        yield
+
+
+class Journal:
+    """Batch-granular checkpoint journal for resumable runs.
+
+    Line format (JSONL): {"batch": i, "reads": n_consumed_after,
+    "bytes": out_bytes_after}.  A line is written only after the
+    batch's SAM text is flushed, so the journal never runs ahead of
+    the output file."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.done_batches = 0
+        self.reads_done = 0
+        self.bytes_done = -1  # -1: no journal yet (keep header)
+
+    @classmethod
+    def load(cls, path: str) -> "Journal":
+        j = cls(path)
+        if os.path.exists(path):
+            with open(path) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        break  # torn write: resume from last good line
+                    j.done_batches = rec["batch"] + 1
+                    j.reads_done = rec["reads"]
+                    j.bytes_done = rec["bytes"]
+        return j
+
+    def mark(self, batch: int, reads: int, nbytes: int) -> None:
+        with open(self.path, "a") as fh:
+            fh.write(json.dumps(
+                {"batch": batch, "reads": reads, "bytes": nbytes}) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        self.done_batches = batch + 1
+        self.reads_done = reads
+        self.bytes_done = nbytes
