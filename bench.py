@@ -92,6 +92,8 @@ def main():
         print(msg, file=sys.stderr, flush=True)
 
     t_all = time.time()
+    from tpubwa.utils import enable_compilation_cache
+    enable_compilation_cache()
     from tpubwa.opts import MEM_F_PE, MemOpt
     from tpubwa.host.pipeline import process_seqs
 
@@ -110,8 +112,9 @@ def main():
         log(f"[bench] device unavailable ({e}); scalar path")
         aligner = None
 
-    # warmup (compiles all device program shapes)
-    warm = simulate(codes, 128, 100, rng)
+    # warmup (compiles all device program shapes: one full 512-read
+    # seeding chunk + the extension wave job-count buckets)
+    warm = simulate(codes, 256, 100, rng)
     t0 = time.time()
     process_seqs(opt, fmi, warm, 0, align_fn=aligner)
     log(f"[bench] warmup batch (compiles): {time.time() - t0:.1f}s")

@@ -132,3 +132,29 @@ def test_pe_one_end_unmapped(pe_setup):
         assert r2[5] == "*"
     else:
         assert abs(int(r2[3]) - int(r1[3])) < 600
+
+
+def test_pe_zero_insert_variance(pe_setup):
+    """pestat std == 0 (all inserts identical): C computes ns=NaN/inf
+    and the (int) cast + clamp give pair-score bonus q=0; Python must
+    not raise (regression: ZeroDivisionError in mem_pair)."""
+    prefix, fq1, fq2, pairs = pe_setup
+    import os
+    d = os.path.dirname(fq1)
+    f1 = os.path.join(d, "fix1.fq")
+    f2 = os.path.join(d, "fix2.fq")
+    # rewrite mates at one exact insert size from the reference itself
+    ref = "".join(l.strip() for l in open(prefix).readlines()[1:])
+    comp = str.maketrans("ACGT", "TGCA")
+    rows1, rows2 = [], []
+    for i in range(24):
+        pos = 37 + i * 700
+        frag = ref[pos:pos + 300]
+        rows1.append((f"z{i}", frag[:100]))
+        rows2.append((f"z{i}", frag[-100:].translate(comp)[::-1]))
+    write_fastq(f1, rows1)
+    write_fastq(f2, rows2)
+    recs = run_pe(prefix, f1, f2)
+    assert len(recs) >= 48
+    proper = [r for r in recs if int(r[1]) & 0x2]
+    assert len(proper) >= 40  # identical-insert pairs still pair

@@ -97,7 +97,18 @@ class WaveExtender:
                     for e in live]
             self.n_waves += 1
             self.n_jobs += len(jobs)
-            score, qle, tle, gtle, gscore, max_off = self.batch_fn(jobs)
+            # fixed-size blocks: bounds device memory AND keeps the set
+            # of compiled job-count shapes small ({64..512} pow2)
+            cap = 512
+            if len(jobs) <= cap:
+                score, qle, tle, gtle, gscore, max_off = \
+                    self.batch_fn(jobs)
+            else:
+                parts = [self.batch_fn(jobs[s:s + cap])
+                         for s in range(0, len(jobs), cap)]
+                score, qle, tle, gtle, gscore, max_off = (
+                    np.concatenate([p[k] for p in parts])
+                    for k in range(6))
             nxt = []
             for i, ent in enumerate(live):
                 r = KswExt(score=int(score[i]), qle=int(qle[i]),

@@ -67,6 +67,8 @@ class DeviceAligner:
 
     def __init__(self, opt: MemOpt, fmi: FMIndex, platform: str = "auto",
                  use_pallas: bool = True):
+        from ..utils import enable_compilation_cache
+        enable_compilation_cache()
         self.opt = opt
         self.fmi = fmi
         self.mat = opt.scoring_matrix()
@@ -75,16 +77,22 @@ class DeviceAligner:
         self.extender = WaveExtender(opt, self.mat,
                                      use_pallas=use_pallas)
         self.read_len_cap = 256  # longer reads fall back to scalar path
+        # Fixed seeding-chunk size: every device program in the seeding
+        # stage sees operand shapes (chunk_reads, Lp) with chunk_reads
+        # CONSTANT, so XLA compiles each program exactly once per
+        # read-length bucket instead of once per batch size (compiles
+        # are ~10 s each — they dominated wall time before this).
+        self.chunk_reads = 512
 
     # -------------------------------------------------------------
-    def _pack(self, reads: Sequence[Read]):
+    def _pack(self, reads: Sequence[Read], pad_to: int):
         L = max((r.l_seq for r in reads), default=1)
         Lp = 1
         while Lp < L:
             Lp <<= 1
         Lp = max(Lp, 32)
-        arr = np.full((len(reads), Lp), 4, np.uint8)
-        lens = np.zeros(len(reads), np.int32)
+        arr = np.full((max(len(reads), pad_to), Lp), 4, np.uint8)
+        lens = np.zeros(max(len(reads), pad_to), np.int32)
         for i, r in enumerate(reads):
             arr[i, :r.l_seq] = r.seq
             lens[i] = r.l_seq
@@ -124,9 +132,22 @@ class DeviceAligner:
         if max(r.l_seq for r in reads) > self.read_len_cap:
             from ..host.pipeline import align1_core
             return [align1_core(opt, fmi, r, mat) for r in reads]
-        arr, lens = self._pack(reads)
-        intv_rows = collect_intv_device(opt, self.didx, arr, lens)
-        positions = self._sa_positions(intv_rows)
+        intv_rows: List[np.ndarray] = []
+        positions: List[List[np.ndarray]] = []
+        ch = self.chunk_reads
+        for s in range(0, len(reads), ch):
+            chunk = reads[s:s + ch]
+            # pow2 bucket with a small floor: tiny batches (tests,
+            # stragglers) compile small programs; full chunks always
+            # pad to exactly `ch`, so the steady-state shape is unique
+            pad = 32
+            while pad < len(chunk):
+                pad <<= 1
+            arr, lens = self._pack(chunk, pad)
+            rows = collect_intv_device(opt, self.didx, arr,
+                                       lens)[:len(chunk)]
+            intv_rows.extend(rows)
+            positions.extend(self._sa_positions(rows))
         all_regs: List[List[AlnReg]] = []
         plans_by_read = []
         for ri, read in enumerate(reads):

@@ -204,12 +204,20 @@ def mem_pair(opt: MemOpt, fmi: FMIndex, pes: List[PEStat],
                     break
                 if dist < pes[dire].low:
                     continue
-                ns = (dist - pes[dire].avg) / pes[dire].std
-                q = int((v[i][1] >> 32) + (v[k][1] >> 32)
-                        + 0.721 * math.log(
-                            2.0 * math.erfc(abs(ns) * (2 ** -0.5)))
-                        * opt.a + 0.499)
-                q = max(q, 0)
+                # C computes ns = (dist-avg)/std with IEEE semantics:
+                # std==0 gives NaN/inf, erfc underflow gives log(0) =
+                # -inf; either way the (int) cast + clamp lands on 0.
+                # Python raises on both, so branch explicitly.
+                p = 0.0
+                if pes[dire].std > 0:
+                    ns = (dist - pes[dire].avg) / pes[dire].std
+                    p = 2.0 * math.erfc(abs(ns) * (2 ** -0.5))
+                if p > 0:
+                    q = int((v[i][1] >> 32) + (v[k][1] >> 32)
+                            + 0.721 * math.log(p) * opt.a + 0.499)
+                    q = max(q, 0)
+                else:
+                    q = 0
                 y = (k << 32) | i
                 x = (q << 32) | (hash_64((y ^ (pair_id << 8))
                                          & 0xFFFFFFFFFFFFFFFF)

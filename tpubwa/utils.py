@@ -26,6 +26,26 @@ from typing import Dict, Optional
 log = logging.getLogger("tpubwa")
 
 
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: the seeding/extension programs
+    cost tens of seconds to compile on TPU; caching them on disk makes
+    every process after the first start hot.  Opt out with
+    TPUBWA_NO_COMPILE_CACHE=1 (e.g. when debugging lowering)."""
+    if os.environ.get("TPUBWA_NO_COMPILE_CACHE"):
+        return
+    import jax
+    cache_dir = os.environ.get(
+        "TPUBWA_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "tpubwa-xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # pragma: no cover - best effort
+        log.warning("compilation cache unavailable: %s", e)
+
+
 def cputime() -> float:
     """utils.c:cputime — user+sys seconds of this process."""
     ru = resource.getrusage(resource.RUSAGE_SELF)
