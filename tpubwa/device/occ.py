@@ -23,7 +23,17 @@ import numpy as np
 from ..index.fmindex import FMIndex, OCC_INTERVAL, SA_INTV, WORDS_PER_BLOCK
 
 I64 = jnp.int64
+I32 = jnp.int32
 U32 = jnp.uint32
+
+
+def _fits_i32(seq_len: int) -> bool:
+    """Ranks/positions live in [-1, seq_len+1]; int32 covers genomes
+    under 2^31-2 doubled bases (E. coli..chr-scale).  Human-scale
+    indexes (GRCh38 doubled = 6.2e9) take the int64 path, which TPU
+    emulates in software — on small genomes int32 is ~an order of
+    magnitude faster."""
+    return seq_len + 2 < (1 << 31)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -37,6 +47,15 @@ class DeviceIndex:
     seq_len: int              # static
     pac_words: jnp.ndarray    # uint32 [ceil(l_pac/16)] packed fwd ref
     l_pac: int                # static
+
+    @property
+    def idt(self):
+        """Device dtype for ranks/positions (int32 when they fit)."""
+        return I32 if _fits_i32(self.seq_len) else I64
+
+    @property
+    def np_idt(self):
+        return np.int32 if _fits_i32(self.seq_len) else np.int64
 
     def tree_flatten(self):
         return ((self.occ_blocks, self.sa_sample, self.L2,
@@ -65,9 +84,10 @@ class DeviceIndex:
         from ..index.fmindex import pack_bwt_words
         pw = pack_bwt_words(fmi.bnt.codes)
         put = partial(jax.device_put, device=device)
+        npdt = np.int32 if _fits_i32(int(fmi.seq_len)) else np.int64
         return cls(occ_blocks=put(blocks),
-                   sa_sample=put(fmi.sa_sample.astype(np.int64)),
-                   L2=put(fmi.L2.astype(np.int64)),
+                   sa_sample=put(fmi.sa_sample.astype(npdt)),
+                   L2=put(fmi.L2.astype(npdt)),
                    primary=int(fmi.primary), seq_len=int(fmi.seq_len),
                    pac_words=put(pw), l_pac=int(fmi.bnt.l_pac))
 
@@ -92,46 +112,47 @@ def _block_counts(words: jnp.ndarray, nb: jnp.ndarray) -> jnp.ndarray:
                      (U32(0xFFFFFFFF) << shift) & U32(0xFFFFFFFF),
                      U32(0))
     cnt = jax.lax.population_count(y & mask[..., None, :])
-    return jnp.sum(cnt, axis=-1).astype(I64)         # [..., 4]
+    return jnp.sum(cnt, axis=-1).astype(nb.dtype)    # [..., 4]
 
 
 def occ4(didx: DeviceIndex, k: jnp.ndarray) -> jnp.ndarray:
     """occ(k, c) for all 4 bases; k int64 [...] conceptual rows in
     [-1, seq_len].  Returns int64 [..., 4]."""
-    k = k.astype(I64)
+    k = k.astype(didx.idt)
     is_end = k == didx.seq_len
     kk = jnp.where(k >= didx.primary, k - 1, k)
     kk = jnp.clip(kk, 0, didx.seq_len - 1)
     blk = kk >> 7
     row = didx.occ_blocks[blk]                      # [..., 12]
-    base = row[..., :4].astype(I64)
+    base = row[..., :4].astype(didx.idt)
     words = row[..., 4:]
-    nb = (kk - (blk << 7) + 1).astype(I64)
+    nb = (kk - (blk << 7) + 1).astype(didx.idt)
     cnt = base + _block_counts(words, nb)
-    cnt = jnp.where((k < 0)[..., None], I64(0), cnt)
+    cnt = jnp.where((k < 0)[..., None], 0, cnt)
     end_val = (didx.L2[1:5] - didx.L2[0:4])[None]
     return jnp.where(is_end[..., None], end_val, cnt)
 
 
 def occ1(didx: DeviceIndex, k: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     """occ(k, c) for one base per query (used by the SA walk)."""
-    return jnp.take_along_axis(occ4(didx, k), c[..., None].astype(I64),
+    return jnp.take_along_axis(occ4(didx, k),
+                               c[..., None].astype(didx.idt),
                                axis=-1)[..., 0]
 
 
 def bwt_code(didx: DeviceIndex, x: jnp.ndarray) -> jnp.ndarray:
     """stored BWT[x] (x stored index, int64 [...])."""
-    x = x.astype(I64)
+    x = x.astype(didx.idt)
     blk = x >> 7
     within = x - (blk << 7)
     w = didx.occ_blocks[blk, 4 + (within >> 4)]
     sh = ((15 - (within & 15)) << 1).astype(U32)
-    return ((w >> sh) & U32(3)).astype(I64)
+    return ((w >> sh) & U32(3)).astype(didx.idt)
 
 
 def set_intv(didx: DeviceIndex, c: jnp.ndarray):
     """bwt_set_intv batched: [..., 3] (x0, x1, size) for single bases."""
-    c = c.astype(I64)
+    c = c.astype(didx.idt)
     x0 = didx.L2[c] + 1
     x1 = didx.L2[3 - c] + 1
     sz = didx.L2[c + 1] - didx.L2[c]
@@ -151,7 +172,7 @@ def bwt_extend(didx: DeviceIndex, ik: jnp.ndarray, is_back: bool):
     sizes = tl - tk
     new_piv = didx.L2[:4][None] + 1 + tk
     sent = ((piv <= didx.primary)
-            & (piv + sz - 1 >= didx.primary)).astype(I64)
+            & (piv + sz - 1 >= didx.primary)).astype(didx.idt)
     acc3 = oth + sent
     acc2 = acc3 + sizes[..., 3]
     acc1 = acc2 + sizes[..., 2]
@@ -167,13 +188,13 @@ def inv_psi(didx: DeviceIndex, k: jnp.ndarray) -> jnp.ndarray:
     x = k - (k > didx.primary)
     c = bwt_code(didx, x)
     lf = didx.L2[c] + occ1(didx, k, c)
-    return jnp.where(k == didx.primary, I64(0), lf)
+    return jnp.where(k == didx.primary, 0, lf)
 
 
 @partial(jax.jit, static_argnames=())
 def sa_lookup(didx: DeviceIndex, ranks: jnp.ndarray) -> jnp.ndarray:
     """Batched bwt_sa: walk LF until a sampled rank (<= 31 steps)."""
-    ranks = ranks.astype(I64)
+    ranks = ranks.astype(didx.idt)
 
     def cond(state):
         k, steps = state
@@ -184,7 +205,7 @@ def sa_lookup(didx: DeviceIndex, ranks: jnp.ndarray) -> jnp.ndarray:
         active = (k % SA_INTV) != 0
         nk = inv_psi(didx, k)
         k = jnp.where(active, nk, k)
-        steps = steps + active.astype(I64)
+        steps = steps + active.astype(didx.idt)
         return k, steps
 
     k, steps = jax.lax.while_loop(
@@ -196,7 +217,8 @@ def get_ref_batch(didx: DeviceIndex, starts: jnp.ndarray,
                   length: int) -> jnp.ndarray:
     """Fetch `length` forward-reference codes from each start (doubled
     coordinates are NOT handled here; callers fold strands)."""
-    pos = starts[:, None].astype(I64) + jnp.arange(length, dtype=I64)[None]
+    dt = didx.idt
+    pos = starts[:, None].astype(dt) + jnp.arange(length, dtype=dt)[None]
     pos = jnp.clip(pos, 0, didx.l_pac - 1)
     w = didx.pac_words[pos >> 4]
     sh = ((15 - (pos & 15)) << 1).astype(U32)

@@ -114,7 +114,7 @@ class DeviceAligner:
             return [[] for _ in per_read_intvs]
         n = len(ranks)
         m = _pad_pow2(n)
-        arr = np.zeros(m, np.int64)
+        arr = np.zeros(m, self.didx.np_idt)
         arr[:n] = ranks
         pos = np.asarray(sa_lookup(self.didx, jnp.asarray(arr)))[:n]
         out = [[] for _ in per_read_intvs]

@@ -57,13 +57,14 @@ def _rightmost_reach(didx: DeviceIndex, q: jnp.ndarray, lens: jnp.ndarray,
     Returns (ik [N,3] int64 final interval, e [N] int64 final end);
     jobs that fail immediately get e == start.
     """
+    dt = didx.idt
     L = q.shape[1]
-    b = starts.astype(I64)
-    jl = lens[read_idx].astype(I64)
+    b = starts.astype(dt)
+    jl = lens[read_idx].astype(dt)
 
     def base_at(pos):
         p = jnp.clip(pos, 0, L - 1).astype(I32)
-        return q[read_idx, p].astype(I64)
+        return q[read_idx, p].astype(dt)
 
     c0 = base_at(b)
     valid0 = (c0 <= 3) & (b < jl)
@@ -91,7 +92,7 @@ def _rightmost_reach(didx: DeviceIndex, q: jnp.ndarray, lens: jnp.ndarray,
         return ik, e, good, t + 1
 
     ik, e, _, _ = jax.lax.while_loop(
-        cond, body, (ik0, e0, ok0, jnp.asarray(1, I64)))
+        cond, body, (ik0, e0, ok0, jnp.asarray(1, ik0.dtype)))
     return ik, e
 
 
@@ -100,9 +101,11 @@ def _run_reach(didx, reads, lens, read_idx, starts, min_intv):
     n = len(read_idx)
     m = _pad_pow2(n)
     pad = m - n
+    npdt = didx.np_idt
     ri = np.concatenate([read_idx, np.zeros(pad, np.int32)])
     st = np.concatenate([starts, np.zeros(pad, np.int32)])
-    mi = np.concatenate([min_intv, np.full(pad, 1 << 62, np.int64)])
+    mi = np.concatenate([min_intv, np.full(pad, np.iinfo(npdt).max,
+                                           npdt)]).astype(npdt)
     ik, e = _rightmost_reach(didx, jnp.asarray(reads, I32),
                              jnp.asarray(lens, I32), jnp.asarray(ri),
                              jnp.asarray(st), jnp.asarray(mi))
@@ -116,7 +119,7 @@ def smems_round1(didx: DeviceIndex, reads: np.ndarray, lens: np.ndarray,
     B, L = reads.shape
     read_idx = np.repeat(np.arange(B, dtype=np.int32), L)
     starts = np.tile(np.arange(L, dtype=np.int32), B)
-    min_intv = np.ones(B * L, np.int64)
+    min_intv = np.ones(B * L, didx.np_idt)
     ik, e = _run_reach(didx, reads, lens, read_idx, starts, min_intv)
     ik = ik.reshape(B, L, 3)
     e = e.reshape(B, L)
@@ -148,7 +151,7 @@ def smems_reseed(didx: DeviceIndex, reads: np.ndarray, lens: np.ndarray,
         nb = x + 1                      # candidate starts b = 0..x
         read_idx.append(np.full(nb, ri, np.int32))
         starts.append(np.arange(nb, dtype=np.int32))
-        min_intv.append(np.full(nb, mi, np.int64))
+        min_intv.append(np.full(nb, mi, didx.np_idt))
         meta.append((ri, x, nb))
     ik, e = _run_reach(didx, reads, lens, np.concatenate(read_idx),
                        np.concatenate(starts), np.concatenate(min_intv))
@@ -176,11 +179,12 @@ def _seed_strategy_scan(didx: DeviceIndex, q: jnp.ndarray,
                         lens: jnp.ndarray, min_len: int, max_intv: int):
     """Round 3: lockstep bwt_seed_strategy1 (bwt.c:~490) over all reads.
     Returns (hits [B, MAXH, 5] int64, n_hits [B])."""
+    dt = didx.idt
     B, L = q.shape
     MAXH = L // max(int(min_len), 1) + 1
-    lj = lens.astype(I64)
-    min_len_j = jnp.asarray(min_len, I64)
-    max_intv_j = jnp.asarray(max_intv, I64)
+    lj = lens.astype(dt)
+    min_len_j = jnp.asarray(min_len, dt)
+    max_intv_j = jnp.asarray(max_intv, dt)
 
     def cond(state):
         x, i, ik, mode, hits, nh = state
@@ -190,7 +194,7 @@ def _seed_strategy_scan(didx: DeviceIndex, q: jnp.ndarray,
         x, i, ik, mode, hits, nh = state
         active = x < lj
         # restart lane (mode 0): inspect q[x]
-        cx = q[jnp.arange(B), jnp.clip(x, 0, L - 1).astype(I32)].astype(I64)
+        cx = q[jnp.arange(B), jnp.clip(x, 0, L - 1).astype(I32)].astype(dt)
         restart = active & (mode == 0)
         amb0 = restart & (cx > 3)
         start_ok = restart & (cx <= 3)
@@ -202,7 +206,7 @@ def _seed_strategy_scan(didx: DeviceIndex, q: jnp.ndarray,
         # scan lane (mode 1): inspect q[i]
         scanning = active & (mode == 1)
         at_end = scanning & (i >= lj)
-        ci = q[jnp.arange(B), jnp.clip(i, 0, L - 1).astype(I32)].astype(I64)
+        ci = q[jnp.arange(B), jnp.clip(i, 0, L - 1).astype(I32)].astype(dt)
         amb = scanning & ~at_end & (ci > 3)
         step = scanning & ~at_end & (ci <= 3)
         ok = bwt_extend(didx, ik, is_back=False)
@@ -215,11 +219,11 @@ def _seed_strategy_scan(didx: DeviceIndex, q: jnp.ndarray,
         qualify = step & (nik[:, 2] < max_intv_j) & (i - x >= min_len_j)
         emit = qualify & (nik[:, 2] > 0)
         row = jnp.concatenate([nik, x[:, None], (i + 1)[:, None]], axis=1)
-        slot_mask = (jnp.arange(MAXH, dtype=I64)[None, :]
+        slot_mask = (jnp.arange(MAXH, dtype=dt)[None, :]
                      == jnp.clip(nh, 0, MAXH - 1)[:, None])
         upd = emit[:, None] & slot_mask                  # [B, MAXH]
         hits = jnp.where(upd[:, :, None], row[:, None, :], hits)
-        nh = nh + emit.astype(I64)
+        nh = nh + emit.astype(dt)
         # transitions (amb terminates the scan and restarts at i+1)
         x = jnp.where(qualify | amb, i + 1, x)
         x = jnp.where(at_end, lj, x)
@@ -228,9 +232,9 @@ def _seed_strategy_scan(didx: DeviceIndex, q: jnp.ndarray,
         i = jnp.where(step, i + 1, i)
         return x, i, ik, mode, hits, nh
 
-    state = (jnp.zeros(B, I64), jnp.zeros(B, I64), jnp.zeros((B, 3), I64),
-             jnp.zeros(B, I64), jnp.zeros((B, MAXH, 5), I64),
-             jnp.zeros(B, I64))
+    state = (jnp.zeros(B, dt), jnp.zeros(B, dt), jnp.zeros((B, 3), dt),
+             jnp.zeros(B, dt), jnp.zeros((B, MAXH, 5), dt),
+             jnp.zeros(B, dt))
     x, i, ik, mode, hits, nh = jax.lax.while_loop(cond, body, state)
     return hits, nh
 
