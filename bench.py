@@ -112,9 +112,10 @@ def main():
         log(f"[bench] device unavailable ({e}); scalar path")
         aligner = None
 
-    # warmup (compiles all device program shapes: one full 512-read
-    # seeding chunk + the extension wave job-count buckets)
-    warm = simulate(codes, 256, 100, rng)
+    # warmup: same batch size as the measurement so every device
+    # program shape (seeding chunk, SA walk, fused extension waves)
+    # compiles before the timed run
+    warm = simulate(codes, 1000, 100, rng)
     t0 = time.time()
     process_seqs(opt, fmi, warm, 0, align_fn=aligner)
     log(f"[bench] warmup batch (compiles): {time.time() - t0:.1f}s")

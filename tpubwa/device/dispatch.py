@@ -28,9 +28,11 @@ from ..ref.ksw import KswExt, ksw_extend
 class WaveExtender:
     """Drives extension_plan generators to completion in batched waves."""
 
-    def __init__(self, opt: MemOpt, mat: np.ndarray, qmax: int = 256,
+    def __init__(self, opt: MemOpt, mat: np.ndarray, qmax: int = 255,
                  tmax: int = 512, batch_fn: Optional[Callable] = None,
-                 use_pallas: bool = True):
+                 use_pallas: bool = True, fused: bool = False):
+        # qmax default = Pallas LANES-1: at 256 the kernel adapters
+        # would silently reject every job to the scalar fallback
         self.opt = opt
         self.mat = np.asarray(mat, np.int32)
         self.qmax = qmax
@@ -38,10 +40,23 @@ class WaveExtender:
         self.n_waves = 0
         self.n_jobs = 0
         self.n_fallback = 0
+        self.fused = fused
         if batch_fn is not None:
             self.batch_fn = batch_fn
+        elif fused:
+            self.batch_fn = self._make_fused_fn()
         else:
             self.batch_fn = self._make_batch_fn(use_pallas)
+
+    def _make_fused_fn(self):
+        from .extend_fused import extend_seed_batch_np
+
+        def run(jobs):
+            return extend_seed_batch_np(
+                jobs, self.mat, self.opt.o_del, self.opt.e_del,
+                self.opt.o_ins, self.opt.e_ins, self.opt.zdrop,
+                self.qmax, self.tmax)
+        return run
 
     def _make_batch_fn(self, use_pallas: bool):
         from .extend import extend_batch_np
@@ -67,8 +82,53 @@ class WaveExtender:
                           self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
                           w, eb, self.opt.zdrop, h0)
 
+    def _scalar_fused(self, job) -> np.ndarray:
+        from .extend_fused import scalar_fused
+        self.n_fallback += 1
+        return scalar_fused(job, self.mat, self.opt.o_del, self.opt.e_del,
+                            self.opt.o_ins, self.opt.e_ins,
+                            self.opt.zdrop)
+
+    def run_fused(self, plans: List) -> None:
+        """plans: generators from extension_plan(fused=True); one job
+        per seed, one device call per wave."""
+        live = []
+        for g in plans:
+            try:
+                live.append([g, next(g)])
+            except StopIteration:
+                pass
+        qmax, tmax = self.qmax, self.tmax
+        while live:
+            for ent in live:
+                job = ent[1]
+                while job is not None and (
+                        job[0] > qmax or job[2] > tmax
+                        or job[4] > qmax or job[6] > tmax):
+                    try:
+                        job = ent[0].send(self._scalar_fused(job))
+                    except StopIteration:
+                        job = None
+                ent[1] = job
+            live = [e for e in live if e[1] is not None]
+            if not live:
+                break
+            self.n_waves += 1
+            self.n_jobs += len(live)
+            rows = self.batch_fn([e[1] for e in live])
+            nxt = []
+            for i, ent in enumerate(live):
+                try:
+                    ent[1] = ent[0].send(rows[i])
+                    nxt.append(ent)
+                except StopIteration:
+                    pass
+            live = nxt
+
     def run(self, plans: List) -> None:
         """plans: generators from extension_plan (mutate their av)."""
+        if self.fused:
+            return self.run_fused(plans)
         # prime every generator to its first job
         live = []
         for g in plans:

@@ -1,0 +1,188 @@
+"""Fused per-seed extension: left + right + band-doubling retries in
+ONE device program (bwamem.c:mem_chain2aln:~700's per-seed body,
+SURVEY.md §2 row 9, §3.4 phases A-C collapsed).
+
+Motivation: the TPU here is reached over a high-latency link (~25 ms
+per host<->device interaction), so the wave dispatcher must not pay a
+round trip per (side, band-trial).  This module runs the whole
+upstream per-seed protocol on device:
+
+    trial0 left  -> retry? (max_off >= 3/4 w && score changed)
+    trial1 left  (masked to retrying jobs)
+    sc0 = selected left score (or h0 when there is no left part)
+    trial0 right (h0 = sc0) -> retry?
+    trial1 right (masked)
+
+and returns one packed [N, 16] row per job:
+    0..5   selected left  (score, qle, tle, gtle, gscore, max_off)
+    6..11  selected right (score, qle, tle, gtle, gscore, max_off)
+    12 aw0 (final left band)   13 aw1 (final right band)
+    14 sc0 (score after left)  15 final score
+
+Bit-identity with the scalar trial loops of ref.ksw-driven
+mem_chain2aln is pinned by tests/test_extend_fused.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .extend_pallas import CHUNK, JOBS, LANES, _mat_ab, extend_batch_pallas
+
+I32 = jnp.int32
+
+# result-row layout
+L_SCORE, L_QLE, L_TLE, L_GTLE, L_GSCORE, L_MAXOFF = range(6)
+R_SCORE, R_QLE, R_TLE, R_GTLE, R_GSCORE, R_MAXOFF = range(6, 12)
+AW0, AW1, SC0, SCORE = 12, 13, 14, 15
+
+
+def _retry(res, qlen, w, prev):
+    """Upstream band loop: retry iff score != prev AND
+    max_off >= (w>>1)+(w>>2) (and the side exists at all)."""
+    return ((qlen > 0) & (res[:, 0] != prev)
+            & (res[:, 5] >= (w >> 1) + (w >> 2)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("a", "b", "o_del", "e_del", "o_ins", "e_ins",
+                     "zdrop", "tmax", "interpret"))
+def extend_seed_pallas(qL, tL, qR, tR, meta, a, b, o_del, e_del, o_ins,
+                       e_ins, zdrop, tmax, interpret=False):
+    """meta int32 [N, 8]: qlenL, tlenL, qlenR, tlenR, h0, w, pen5, pen3.
+    Returns int32 [N, 16] (layout above)."""
+    N = qL.shape[0]
+    # sequences arrive int8 (slow host link); compute in int32
+    qL, tL = qL.astype(I32), tL.astype(I32)
+    qR, tR = qR.astype(I32), tR.astype(I32)
+    qlenL, tlenL = meta[:, 0], meta[:, 1]
+    qlenR, tlenR = meta[:, 2], meta[:, 3]
+    h0, w0 = meta[:, 4], meta[:, 5]
+    pen5, pen3 = meta[:, 6], meta[:, 7]
+
+    def pack(qlen, tlen, hh, ww, eb):
+        p = jnp.zeros((N, 128), I32)
+        p = p.at[:, 0].set(qlen)
+        p = p.at[:, 1].set(tlen)
+        p = p.at[:, 2].set(jnp.maximum(hh, 1))  # kernel assumes h0 > 0
+        p = p.at[:, 3].set(ww)
+        p = p.at[:, 4].set(eb)
+        return p
+
+    run = functools.partial(extend_batch_pallas, a=a, b=b, o_del=o_del,
+                            e_del=e_del, o_ins=o_ins, e_ins=e_ins,
+                            zdrop=zdrop, tmax=tmax, interpret=interpret)
+    # ---- left, trial 0 (prev = -1: score never equals it)
+    rL0 = run(qL, tL, pack(qlenL, tlenL, h0, w0, pen5))
+    retL = _retry(rL0, qlenL, w0, -1)
+    # ---- left, trial 1 (non-retrying jobs masked to empty: the tile
+    # early-exits when nothing retries)
+    m = retL.astype(I32)
+    rL1 = run(qL, tL, pack(qlenL * m, tlenL * m, h0, w0 * 2, pen5))
+    rL = jnp.where(retL[:, None], rL1, rL0)
+    aw0 = jnp.where(retL, w0 * 2, w0)
+    sc0 = jnp.where(qlenL > 0, rL[:, 0], h0)
+    # ---- right, trial 0 (h0 = sc0, prev = sc0)
+    rR0 = run(qR, tR, pack(qlenR, tlenR, sc0, w0, pen3))
+    retR = _retry(rR0, qlenR, w0, sc0)
+    m = retR.astype(I32)
+    rR1 = run(qR, tR, pack(qlenR * m, tlenR * m, sc0, w0 * 2, pen3))
+    rR = jnp.where(retR[:, None], rR1, rR0)
+    aw1 = jnp.where(retR, w0 * 2, w0)
+    score = jnp.where(qlenR > 0, rR[:, 0], sc0)
+    return jnp.concatenate(
+        [rL[:, :6], rR[:, :6], aw0[:, None], aw1[:, None], sc0[:, None],
+         score[:, None]], axis=1).reshape(-1)  # flat on the wire
+
+
+def scalar_fused(job, mat, o_del, e_del, o_ins, e_ins, zdrop,
+                 max_band_try=2):
+    """Scalar oracle / oversize fallback: the upstream trial loops with
+    ref.ksw.ksw_extend.  job = (qlenL, qL, tlenL, tL, qlenR, qR, tlenR,
+    tR, w, h0, pen5, pen3).  Returns np.int32 [16]."""
+    from ..ref.ksw import ksw_extend
+    (qlenL, qL, tlenL, tL, qlenR, qR, tlenR, tR, w0, h0,
+     pen5, pen3) = job
+    out = np.zeros(16, np.int64)
+    score = -1
+    aw0 = aw1 = w0
+    if qlenL > 0:
+        for trial in range(max_band_try):
+            prev = score
+            aw0 = w0 << trial
+            r = ksw_extend(qlenL, qL, tlenL, tL, mat, o_del, e_del,
+                           o_ins, e_ins, aw0, pen5, zdrop, h0)
+            score = r.score
+            out[:6] = (r.score, r.qle, r.tle, r.gtle, r.gscore, r.max_off)
+            if score == prev or r.max_off < (aw0 >> 1) + (aw0 >> 2):
+                break
+    sc0 = score if qlenL > 0 else h0
+    score = sc0
+    if qlenR > 0:
+        for trial in range(max_band_try):
+            prev = score
+            aw1 = w0 << trial
+            r = ksw_extend(qlenR, qR, tlenR, tR, mat, o_del, e_del,
+                           o_ins, e_ins, aw1, pen3, zdrop, sc0)
+            score = r.score
+            out[6:12] = (r.score, r.qle, r.tle, r.gtle, r.gscore,
+                         r.max_off)
+            if score == prev or r.max_off < (aw1 >> 1) + (aw1 >> 2):
+                break
+    out[AW0], out[AW1], out[SC0], out[SCORE] = aw0, aw1, sc0, score
+    return out
+
+
+def extend_seed_batch_np(jobs: List, mat, o_del, e_del, o_ins, e_ins,
+                         zdrop, qmax, tmax, interpret=None) -> np.ndarray:
+    """Adapter: list of fused job tuples -> np.int32 [n, 16].
+    Sorts by total target length for dense tiles, pads to chunk
+    buckets.  Falls back to the scalar loops for non-scmat matrices."""
+    ab = _mat_ab(mat)
+    if ab is None or qmax > LANES - 1:
+        return np.stack([
+            scalar_fused(j, mat, o_del, e_del, o_ins, e_ins, zdrop)
+            for j in jobs]).astype(np.int32)
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    n = len(jobs)
+    order = sorted(range(n),
+                   key=lambda i: -(int(jobs[i][2]) + int(jobs[i][6])))
+    N = JOBS if n <= JOBS else ((n + CHUNK - 1) // CHUNK) * CHUNK
+    qLa = np.full((N, LANES), 4, np.int8)
+    tLa = np.full((N, tmax), 4, np.int8)
+    qRa = np.full((N, LANES), 4, np.int8)
+    tRa = np.full((N, tmax), 4, np.int8)
+    meta = np.zeros((N, 8), np.int32)
+    meta[:, 4] = 1   # h0 > 0 for pad rows
+    meta[:, 5] = 1   # w > 0
+    for slot, i in enumerate(order):
+        (qlenL, qL, tlenL, tL, qlenR, qR, tlenR, tR, w0, h0,
+         pen5, pen3) = jobs[i]
+        qLa[slot, :qlenL] = qL[:qlenL]
+        tLa[slot, :tlenL] = tL[:tlenL]
+        qRa[slot, :qlenR] = qR[:qlenR]
+        tRa[slot, :tlenR] = tR[:tlenR]
+        meta[slot] = (qlenL, tlenL, qlenR, tlenR, h0, w0, pen5, pen3)
+    step = N if N <= JOBS else CHUNK
+    parts = []
+    for off in range(0, N, step):
+        parts.append(np.asarray(extend_seed_pallas(
+            jnp.asarray(qLa[off:off + step]),
+            jnp.asarray(tLa[off:off + step]),
+            jnp.asarray(qRa[off:off + step]),
+            jnp.asarray(tRa[off:off + step]),
+            jnp.asarray(meta[off:off + step]), ab[0], ab[1], o_del,
+            e_del, o_ins, e_ins, zdrop, tmax,
+            interpret)).reshape(-1, 16))
+    res = np.concatenate(parts, axis=0)
+    out = np.zeros((n, 16), np.int32)
+    for slot, i in enumerate(order):
+        out[i] = res[slot]
+    return out

@@ -75,14 +75,14 @@ class DeviceAligner:
         self.device = _pick_device(platform)
         self.didx = DeviceIndex.from_fmindex(fmi, device=self.device)
         self.extender = WaveExtender(opt, self.mat,
-                                     use_pallas=use_pallas)
+                                     use_pallas=use_pallas, fused=True)
         self.read_len_cap = 256  # longer reads fall back to scalar path
         # Fixed seeding-chunk size: every device program in the seeding
         # stage sees operand shapes (chunk_reads, Lp) with chunk_reads
         # CONSTANT, so XLA compiles each program exactly once per
         # read-length bucket instead of once per batch size (compiles
         # are ~10 s each — they dominated wall time before this).
-        self.chunk_reads = 512
+        self.chunk_reads = 2048
 
     # -------------------------------------------------------------
     def _pack(self, reads: Sequence[Read], pad_to: int):
@@ -166,7 +166,7 @@ class DeviceAligner:
             # extend in parallel waves
             plans_by_read.append([
                 extension_plan(opt, fmi.bnt, read.l_seq, read.seq, c,
-                               regs) for c in chains])
+                               regs, fused=True) for c in chains])
         self.extender.run(_serialize_per_read(plans_by_read))
         out = []
         for read, regs in zip(reads, all_regs):

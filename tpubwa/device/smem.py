@@ -45,6 +45,20 @@ def _pad_pow2(n: int, lo: int = 256) -> int:
 
 
 @jax.jit
+def _rightmost_reach_all(didx: DeviceIndex, q: jnp.ndarray,
+                         lens: jnp.ndarray):
+    """Round-1 form: one job per (read, start) — the job index arrays
+    are pure arange/tile patterns, so they are built ON DEVICE (the
+    host link is ~55 MB/s; shipping B*L int32 triples cost more than
+    the compute)."""
+    B, L = q.shape
+    read_idx = jnp.repeat(jnp.arange(B, dtype=I32), L)
+    starts = jnp.tile(jnp.arange(L, dtype=I32), B)
+    min_intv = jnp.ones(B * L, didx.idt)
+    return _rightmost_reach(didx, q, lens, read_idx, starts, min_intv)
+
+
+@jax.jit
 def _rightmost_reach(didx: DeviceIndex, q: jnp.ndarray, lens: jnp.ndarray,
                      read_idx: jnp.ndarray, starts: jnp.ndarray,
                      min_intv: jnp.ndarray):
@@ -64,7 +78,7 @@ def _rightmost_reach(didx: DeviceIndex, q: jnp.ndarray, lens: jnp.ndarray,
 
     def base_at(pos):
         p = jnp.clip(pos, 0, L - 1).astype(I32)
-        return q[read_idx, p].astype(dt)
+        return q[read_idx, p].astype(dt)  # q may be uint8 on the wire
 
     c0 = base_at(b)
     valid0 = (c0 <= 3) & (b < jl)
@@ -93,7 +107,10 @@ def _rightmost_reach(didx: DeviceIndex, q: jnp.ndarray, lens: jnp.ndarray,
 
     ik, e, _, _ = jax.lax.while_loop(
         cond, body, (ik0, e0, ok0, jnp.asarray(1, ik0.dtype)))
-    return ik, e
+    # flatten before returning: D2H of small-minor-dim arrays over the
+    # axon link degrades to ~0.8 ms PER ROW (measured); flat transfers
+    # run at link bandwidth
+    return ik.reshape(-1), e
 
 
 def _run_reach(didx, reads, lens, read_idx, starts, min_intv):
@@ -106,26 +123,29 @@ def _run_reach(didx, reads, lens, read_idx, starts, min_intv):
     st = np.concatenate([starts, np.zeros(pad, np.int32)])
     mi = np.concatenate([min_intv, np.full(pad, np.iinfo(npdt).max,
                                            npdt)]).astype(npdt)
-    ik, e = _rightmost_reach(didx, jnp.asarray(reads, I32),
-                             jnp.asarray(lens, I32), jnp.asarray(ri),
+    ik, e = _rightmost_reach(didx, jnp.asarray(reads),
+                             jnp.asarray(lens), jnp.asarray(ri),
                              jnp.asarray(st), jnp.asarray(mi))
-    return np.asarray(ik)[:n], np.asarray(e)[:n]
+    ik = np.asarray(ik).reshape(m, 3)
+    return ik[:n], np.asarray(e)[:n]
 
 
-def smems_round1(didx: DeviceIndex, reads: np.ndarray, lens: np.ndarray,
-                 min_seed_len: int) -> List[np.ndarray]:
+def smems_round1(didx: DeviceIndex, reads, lens,
+                 min_seed_len: int, lens_np=None) -> List[np.ndarray]:
     """All SMEMs of every read (round 1).  Returns per-read
-    [n, 5] int64 (x0, x1, size, qb, qe)."""
+    [n, 5] int64 (x0, x1, size, qb, qe).  reads/lens may be device
+    arrays; lens_np is the host copy for the per-read post loop (a
+    device-array scalar read costs a full link round trip)."""
     B, L = reads.shape
-    read_idx = np.repeat(np.arange(B, dtype=np.int32), L)
-    starts = np.tile(np.arange(L, dtype=np.int32), B)
-    min_intv = np.ones(B * L, didx.np_idt)
-    ik, e = _run_reach(didx, reads, lens, read_idx, starts, min_intv)
-    ik = ik.reshape(B, L, 3)
-    e = e.reshape(B, L)
+    if lens_np is None:
+        lens_np = np.asarray(lens)
+    ik, e = _rightmost_reach_all(didx, jnp.asarray(reads),
+                                 jnp.asarray(lens))
+    ik = np.asarray(ik).reshape(B, L, 3)
+    e = np.asarray(e).reshape(B, L)  # flat on the wire
     out = []
     for i in range(B):
-        li = int(lens[i])
+        li = int(lens_np[i])
         ei = e[i, :li]
         starts_i = np.arange(li)
         is_smem = ei > starts_i
@@ -236,7 +256,7 @@ def _seed_strategy_scan(didx: DeviceIndex, q: jnp.ndarray,
              jnp.zeros(B, dt), jnp.zeros((B, MAXH, 5), dt),
              jnp.zeros(B, dt))
     x, i, ik, mode, hits, nh = jax.lax.while_loop(cond, body, state)
-    return hits, nh
+    return hits.reshape(-1), nh  # flat: see _rightmost_reach note
 
 
 def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
@@ -246,7 +266,12 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     (qb, qe) — the contract of ref.smem.collect_intv."""
     B, L = reads.shape
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-    r1 = smems_round1(didx, reads, lens, opt.min_seed_len)
+    # one H2D of the chunk's codes (uint8: the link is slow), reused by
+    # all three rounds
+    lens_np = np.asarray(lens, np.int32)
+    qd = jnp.asarray(np.ascontiguousarray(reads, dtype=np.uint8))
+    ld = jnp.asarray(lens_np)
+    r1 = smems_round1(didx, qd, ld, opt.min_seed_len, lens_np=lens_np)
     jobs = []
     for ri in range(B):
         for row in r1[ri]:
@@ -254,15 +279,15 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
             if qe - qb < split_len or size > opt.split_width:
                 continue
             jobs.append((ri, (qb + qe) >> 1, size + 1))
-    r2 = smems_reseed(didx, reads, lens, jobs, opt.min_seed_len)
+    r2 = smems_reseed(didx, qd, ld, jobs, opt.min_seed_len)
     per_read: List[List[np.ndarray]] = [list(r1[ri]) for ri in range(B)]
     for ri, rows in r2:
         per_read[ri].extend(rows)
     if opt.max_mem_intv > 0:
         hits, nh = _seed_strategy_scan(
-            didx, jnp.asarray(reads, I32), jnp.asarray(lens, I32),
+            didx, qd, ld,
             int(opt.min_seed_len), int(opt.max_mem_intv))
-        hits = np.asarray(hits)
+        hits = np.asarray(hits).reshape(B, -1, 5)
         nh = np.asarray(nh)
         for ri in range(B):
             per_read[ri].extend(hits[ri, :int(nh[ri])])

@@ -85,13 +85,20 @@ def chain2aln(opt: MemOpt, bnt: BntSeq, l_query: int, query: np.ndarray,
 
 
 def extension_plan(opt: MemOpt, bnt: BntSeq, l_query: int,
-                   query: np.ndarray, c: Chain, av: List[AlnReg]):
+                   query: np.ndarray, c: Chain, av: List[AlnReg],
+                   fused: bool = False):
     """Generator form of mem_chain2aln: yields extension jobs
     (qlen, q, tlen, t, w, end_bonus, h0) and receives KswExt results;
     mutates av in place.  Both the scalar driver above and the batched
     device wave dispatcher (device/dispatch.py) drive this generator,
     so the skip-test / band-doubling / local-vs-global logic exists
-    exactly once."""
+    exactly once.
+
+    fused=True: yields ONE job per seed — (qlenL, qL, tlenL, tL, qlenR,
+    qR, tlenR, tR, w, h0, pen5, pen3) — and receives a packed int row
+    (device/extend_fused.py layout); the band-doubling trial loops run
+    inside the device program instead of as separate waves (one
+    host<->device round trip per seed instead of 2-4)."""
     if not c.seeds:
         return
     l_pac = bnt.l_pac
@@ -170,6 +177,62 @@ def extension_plan(opt: MemOpt, bnt: BntSeq, l_query: int,
         a = AlnReg(rid=c.rid, w=opt.w, score=-1, truesc=-1,
                    frac_rep=c.frac_rep)
         aw0 = aw1 = opt.w
+        if fused:
+            # one fused device job per seed; trial loops run on device
+            qe = s.qbeg + s.len
+            re_off = s.rbeg + s.len - rmax0
+            assert re_off >= 0
+            qs = query[:s.qbeg][::-1].copy() if s.qbeg else query[:0]
+            tlen_l = s.rbeg - rmax0 if s.qbeg else 0
+            rs = rseq[:tlen_l][::-1].copy() if s.qbeg else rseq[:0]
+            qlen_r = l_query - qe
+            tlen_r = rmax1 - rmax0 - re_off if qlen_r else 0
+            res = yield (s.qbeg, qs, tlen_l, rs, qlen_r, query[qe:],
+                         tlen_r, rseq[re_off:], opt.w, s.len * opt.a,
+                         opt.pen_clip5, opt.pen_clip3)
+            if s.qbeg:
+                a.score = int(res[0])
+                qle, tle, gtle, gscore = (int(res[1]), int(res[2]),
+                                          int(res[3]), int(res[4]))
+                aw0 = int(res[12])
+                if gscore <= 0 or gscore <= a.score - opt.pen_clip5:
+                    a.qb = s.qbeg - qle
+                    a.rb = s.rbeg - tle
+                    a.truesc = a.score
+                else:
+                    a.qb = 0
+                    a.rb = s.rbeg - gtle
+                    a.truesc = gscore
+            else:
+                a.score = a.truesc = s.len * opt.a
+                a.qb = 0
+                a.rb = s.rbeg
+            if qlen_r:
+                sc0 = a.score
+                a.score = int(res[6])
+                qle, tle, gtle, gscore = (int(res[7]), int(res[8]),
+                                          int(res[9]), int(res[10]))
+                aw1 = int(res[13])
+                if gscore <= 0 or gscore <= a.score - opt.pen_clip3:
+                    a.qe = qe + qle
+                    a.re = rmax0 + re_off + tle
+                    a.truesc += a.score - sc0
+                else:
+                    a.qe = l_query
+                    a.re = rmax0 + re_off + gtle
+                    a.truesc += gscore - sc0
+            else:
+                a.qe = l_query
+                a.re = s.rbeg + s.len
+            a.seedcov = 0
+            for t in c.seeds:
+                if (t.qbeg >= a.qb and t.qbeg + t.len <= a.qe
+                        and t.rbeg >= a.rb and t.rbeg + t.len <= a.re):
+                    a.seedcov += t.len
+            a.w = max(aw0, aw1)
+            a.seedlen0 = s.len
+            av.append(a)
+            continue
         if s.qbeg:  # left extension (reversed sequences)
             qs = query[:s.qbeg][::-1].copy()
             tlen_l = s.rbeg - rmax0
