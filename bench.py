@@ -120,7 +120,7 @@ def main():
     process_seqs(opt, fmi, warm, 0, align_fn=aligner)
     log(f"[bench] warmup batch (compiles): {time.time() - t0:.1f}s")
 
-    n_pairs = 1000
+    n_pairs = 4000
     batch = simulate(codes, n_pairs, 100, rng)
     t0 = time.perf_counter()
     lines = process_seqs(opt, fmi, batch, 0, align_fn=aligner)

@@ -125,32 +125,29 @@ class DeviceAligner:
         return out
 
     # -------------------------------------------------------------
-    def align_batch(self, reads: Sequence[Read]) -> List[List[AlnReg]]:
+    def _seed_chunk(self, chunk: Sequence[Read]):
+        """Device seeding + SA lookups for one chunk (runs on the
+        prefetch thread so it overlaps host chaining/extension of the
+        previous chunk)."""
+        # pow2 bucket with a small floor: tiny batches (tests,
+        # stragglers) compile small programs; full chunks always
+        # pad to exactly `chunk_reads`, so the steady-state shape is
+        # unique
+        pad = 32
+        while pad < len(chunk):
+            pad <<= 1
+        arr, lens = self._pack(chunk, pad)
+        rows = collect_intv_device(self.opt, self.didx, arr,
+                                   lens)[:len(chunk)]
+        return rows, self._sa_positions(rows)
+
+    def _chunk_regs(self, chunk, intv_rows, positions):
+        """Host chaining + device extension waves + region post for one
+        chunk; returns per-read region lists."""
         opt, fmi, mat = self.opt, self.fmi, self.mat
-        if not reads:
-            return []
-        if max(r.l_seq for r in reads) > self.read_len_cap:
-            from ..host.pipeline import align1_core
-            return [align1_core(opt, fmi, r, mat) for r in reads]
-        intv_rows: List[np.ndarray] = []
-        positions: List[List[np.ndarray]] = []
-        ch = self.chunk_reads
-        for s in range(0, len(reads), ch):
-            chunk = reads[s:s + ch]
-            # pow2 bucket with a small floor: tiny batches (tests,
-            # stragglers) compile small programs; full chunks always
-            # pad to exactly `ch`, so the steady-state shape is unique
-            pad = 32
-            while pad < len(chunk):
-                pad <<= 1
-            arr, lens = self._pack(chunk, pad)
-            rows = collect_intv_device(opt, self.didx, arr,
-                                       lens)[:len(chunk)]
-            intv_rows.extend(rows)
-            positions.extend(self._sa_positions(rows))
         all_regs: List[List[AlnReg]] = []
         plans_by_read = []
-        for ri, read in enumerate(reads):
+        for ri, read in enumerate(chunk):
             intvs = [BwtIntv(int(r[0]), int(r[1]), int(r[2]),
                              int(r[3]), int(r[4]))
                      for r in intv_rows[ri]]
@@ -169,12 +166,38 @@ class DeviceAligner:
                                regs, fused=True) for c in chains])
         self.extender.run(_serialize_per_read(plans_by_read))
         out = []
-        for read, regs in zip(reads, all_regs):
+        for read, regs in zip(chunk, all_regs):
             regs = sort_dedup_patch(opt, fmi.bnt, read.seq, regs, mat)
             for r in regs:
                 if r.rid >= 0 and fmi.bnt.anns[r.rid].is_alt:
                     r.is_alt = 1
             out.append(regs)
+        return out
+
+    def align_batch(self, reads: Sequence[Read]) -> List[List[AlnReg]]:
+        opt, fmi, mat = self.opt, self.fmi, self.mat
+        if not reads:
+            return []
+        if max(r.l_seq for r in reads) > self.read_len_cap:
+            from ..host.pipeline import align1_core
+            return [align1_core(opt, fmi, r, mat) for r in reads]
+        ch = self.chunk_reads
+        chunks = [reads[s:s + ch] for s in range(0, len(reads), ch)]
+        out: List[List[AlnReg]] = []
+        if len(chunks) == 1:
+            rows, positions = self._seed_chunk(chunks[0])
+            return self._chunk_regs(chunks[0], rows, positions)
+        # double-buffer: seed chunk i+1 on a worker thread while the
+        # main thread chains/extends/posts chunk i (device transfers
+        # release the GIL, so host work genuinely overlaps)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(self._seed_chunk, chunks[0])
+            for i, chunk in enumerate(chunks):
+                rows, positions = fut.result()
+                if i + 1 < len(chunks):
+                    fut = ex.submit(self._seed_chunk, chunks[i + 1])
+                out.extend(self._chunk_regs(chunk, rows, positions))
         return out
 
     def __call__(self, reads: Sequence[Read]) -> List[List[AlnReg]]:
