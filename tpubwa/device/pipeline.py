@@ -137,8 +137,8 @@ class DeviceAligner:
         while pad < len(chunk):
             pad <<= 1
         arr, lens = self._pack(chunk, pad)
-        rows = collect_intv_device(self.opt, self.didx, arr,
-                                   lens)[:len(chunk)]
+        rows = collect_intv_device(self.opt, self.didx, arr, lens,
+                                   fmi=self.fmi)[:len(chunk)]
         return rows, self._sa_positions(rows)
 
     def _chunk_regs(self, chunk, intv_rows, positions):

@@ -259,19 +259,27 @@ def _seed_strategy_scan(didx: DeviceIndex, q: jnp.ndarray,
     return hits.reshape(-1), nh  # flat: see _rightmost_reach note
 
 
-def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
-                        lens: np.ndarray) -> List[np.ndarray]:
-    """Full 3-round mem_collect_intv for a batch, device-accelerated.
-    Returns per-read [n, 5] int64 (x0, x1, size, qb, qe) sorted by
-    (qb, qe) — the contract of ref.smem.collect_intv."""
-    B, L = reads.shape
-    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-    # one H2D of the chunk's codes (uint8: the link is slow), reused by
-    # all three rounds
-    lens_np = np.asarray(lens, np.int32)
-    qd = jnp.asarray(np.ascontiguousarray(reads, dtype=np.uint8))
-    ld = jnp.asarray(lens_np)
-    r1 = smems_round1(didx, qd, ld, opt.min_seed_len, lens_np=lens_np)
+def _rounds12_cursor(opt, didx, qd, ld, lens_np, reads, split_len, fmi):
+    """Rounds 1-2 via the cursor machine.  Returns (r1 per-read rows,
+    r2 list of (read_idx, rows))."""
+    from .smem_cursor import run_smem_jobs
+    B = len(lens_np)
+    npdt = didx.np_idt
+    mem, mem_n, ovf = run_smem_jobs(
+        didx, qd, ld,
+        (np.arange(B, dtype=np.int32), np.zeros(B, np.int32),
+         np.ones(B, npdt), np.zeros(B, bool)), opt.min_seed_len)
+    r1: List[np.ndarray] = []
+    scalar_reads = set()
+    for ri in range(B):
+        if ovf[ri]:
+            scalar_reads.add(ri)
+            r1.append(_scalar_round1(opt, fmi, reads[ri],
+                                     int(lens_np[ri])))
+        else:
+            rows = mem[ri, :int(mem_n[ri])].astype(np.int64)
+            order = np.lexsort((rows[:, 4], rows[:, 3]))
+            r1.append(rows[order])
     jobs = []
     for ri in range(B):
         for row in r1[ri]:
@@ -279,7 +287,91 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
             if qe - qb < split_len or size > opt.split_width:
                 continue
             jobs.append((ri, (qb + qe) >> 1, size + 1))
-    r2 = smems_reseed(didx, qd, ld, jobs, opt.min_seed_len)
+    r2 = []
+    if jobs:
+        ja = np.asarray(jobs, np.int64)
+        mem2, mem2_n, ovf2 = run_smem_jobs(
+            didx, qd, ld,
+            (ja[:, 0].astype(np.int32), ja[:, 1].astype(np.int32),
+             ja[:, 2].astype(npdt), np.ones(len(jobs), bool)),
+            opt.min_seed_len)
+        for k, (ri, x, mi) in enumerate(jobs):
+            if ovf2[k]:
+                r2.append((ri, _scalar_reseed(opt, fmi, reads[ri],
+                                              int(lens_np[ri]), x, mi)))
+            else:
+                r2.append((ri, mem2[k, :int(mem2_n[k])]
+                           .astype(np.int64)))
+    return r1, r2
+
+
+def _scalar_round1(opt, fmi, read_row, l_seq):
+    """Host fallback for a cursor-machine overflow lane (round 1)."""
+    from ..ref.smem import smem1a
+    if fmi is None:
+        raise RuntimeError("cursor overflow needs host FMIndex")
+    q = np.asarray(read_row[:l_seq])
+    mems, tmp = [], []
+    x = 0
+    while x < l_seq:
+        if q[x] < 4:
+            x = smem1a(fmi, q, x, 1, 0, tmp)
+            for p in tmp:
+                if p.qe - p.qb >= opt.min_seed_len:
+                    mems.append((p.x0, p.x1, p.size, p.qb, p.qe))
+        else:
+            x += 1
+    rows = np.asarray(mems, np.int64).reshape(-1, 5)
+    order = np.lexsort((rows[:, 4], rows[:, 3]))
+    return rows[order]
+
+
+def _scalar_reseed(opt, fmi, read_row, l_seq, x, min_intv):
+    """Host fallback for an overflowed round-2 lane."""
+    from ..ref.smem import smem1a
+    if fmi is None:
+        raise RuntimeError("cursor overflow needs host FMIndex")
+    q = np.asarray(read_row[:l_seq])
+    tmp = []
+    smem1a(fmi, q, x, min_intv, 0, tmp)
+    return np.asarray(
+        [(p.x0, p.x1, p.size, p.qb, p.qe) for p in tmp
+         if p.qe - p.qb >= opt.min_seed_len],
+        np.int64).reshape(-1, 5)
+
+
+def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
+                        lens: np.ndarray, fmi=None,
+                        use_cursor: bool = True) -> List[np.ndarray]:
+    """Full 3-round mem_collect_intv for a batch, device-accelerated.
+    Returns per-read [n, 5] int64 (x0, x1, size, qb, qe) sorted by
+    (qb, qe) — the contract of ref.smem.collect_intv.
+
+    use_cursor: run rounds 1-2 on the lockstep bwt_smem1a cursor
+    machine (smem_cursor.py, ~10x less BWT work than the all-starts
+    reach); lanes that overflow its stack/emission caps fall back to
+    the scalar reference (needs ``fmi``)."""
+    B, L = reads.shape
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    # one H2D of the chunk's codes (uint8: the link is slow), reused by
+    # all three rounds
+    lens_np = np.asarray(lens, np.int32)
+    qd = jnp.asarray(np.ascontiguousarray(reads, dtype=np.uint8))
+    ld = jnp.asarray(lens_np)
+    if use_cursor:
+        r1, r2 = _rounds12_cursor(opt, didx, qd, ld, lens_np, reads,
+                                  split_len, fmi)
+    else:
+        r1 = smems_round1(didx, qd, ld, opt.min_seed_len,
+                          lens_np=lens_np)
+        jobs = []
+        for ri in range(B):
+            for row in r1[ri]:
+                x0, x1, size, qb, qe = (int(v) for v in row)
+                if qe - qb < split_len or size > opt.split_width:
+                    continue
+                jobs.append((ri, (qb + qe) >> 1, size + 1))
+        r2 = smems_reseed(didx, qd, ld, jobs, opt.min_seed_len)
     per_read: List[List[np.ndarray]] = [list(r1[ri]) for ri in range(B)]
     for ri, rows in r2:
         per_read[ri].extend(rows)
