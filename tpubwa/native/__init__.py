@@ -69,3 +69,31 @@ def sais_int(codes: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise RuntimeError(f"sais failed: {rc}")
     return sa
+
+
+_ksw_lib = None
+
+
+def load_ksw():
+    """ctypes handle to the native SW kernels (ksw.cpp); raises on
+    build failure — callers treat any exception as 'use NumPy'."""
+    global _ksw_lib
+    if _ksw_lib is None:
+        lib = ctypes.CDLL(str(_build("ksw.cpp", "ksw")))
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i32 = ctypes.c_int32
+        lib.tpubwa_ksw_global.restype = ctypes.c_int
+        lib.tpubwa_ksw_global.argtypes = [
+            i32, u8p, i32, u8p, i32, i32p, i32, i32, i32, i32, i32,
+            i32, i32p, i32p, i32, i32p]
+        lib.tpubwa_ksw_extend.restype = None
+        lib.tpubwa_ksw_extend.argtypes = [
+            i32, u8p, i32, u8p, i32, i32p, i32, i32, i32, i32, i32,
+            i32, i32, i32, i32p]
+        lib.tpubwa_ksw_align.restype = None
+        lib.tpubwa_ksw_align.argtypes = [
+            i32, u8p, i32, u8p, i32, i32p, i32, i32, i32, i32, i32,
+            i32, i32p]
+        _ksw_lib = lib
+    return _ksw_lib

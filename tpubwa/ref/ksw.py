@@ -19,12 +19,44 @@ bit-faithful to the scalar loop.
 
 from __future__ import annotations
 
+import ctypes
+import os
 from dataclasses import dataclass
 from typing import List, Tuple
 
 import numpy as np
 
 MINUS_INF = -0x40000000
+
+_NATIVE = None
+
+
+def _native():
+    """Native ksw.cpp kernels (semantics pinned to the NumPy code in
+    this module by tests/test_ksw_native.py); TPUBWA_NO_NATIVE=1 forces
+    the NumPy path."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    if os.environ.get("TPUBWA_NO_NATIVE"):
+        _NATIVE = False
+        return None
+    try:
+        from ..native import load_ksw
+        _NATIVE = load_ksw()
+    except Exception:  # pragma: no cover - toolchain missing
+        _NATIVE = False
+    return _NATIVE or None
+
+
+def _u8(x, n):
+    a = np.ascontiguousarray(np.asarray(x)[:n], dtype=np.uint8)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _mat32(mat):
+    a = np.ascontiguousarray(np.asarray(mat), dtype=np.int32)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
 @dataclass
@@ -42,6 +74,19 @@ def ksw_extend(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
                e_ins: int, w: int, end_bonus: int, zdrop: int,
                h0: int) -> KswExt:
     assert h0 > 0
+    lib = _native()
+    if lib is not None:
+        qa, qp_ = _u8(query, qlen)
+        ta, tp_ = _u8(target, tlen)
+        ma, mp_ = _mat32(mat)
+        out = np.zeros(6, np.int32)
+        lib.tpubwa_ksw_extend(
+            qlen, qp_, tlen, tp_, ma.shape[0], mp_, o_del, e_del,
+            o_ins, e_ins, w, end_bonus, zdrop, h0,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return KswExt(score=int(out[0]), qle=int(out[1]),
+                      tle=int(out[2]), gtle=int(out[3]),
+                      gscore=int(out[4]), max_off=int(out[5]))
     query = np.asarray(query, dtype=np.int64)[:qlen]
     target = np.asarray(target, dtype=np.int64)[:tlen]
     mat = np.asarray(mat, dtype=np.int64)
@@ -182,6 +227,25 @@ def ksw_global(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
                ) -> Tuple[int, List[Tuple[int, int]]]:
     """Banded global alignment; returns (score, cigar [(op,len)...]),
     op 0=M 1=I(query) 2=D(target).  ksw.c:ksw_global2 semantics."""
+    lib = _native()
+    if lib is not None:
+        qa, qp_ = _u8(query, qlen)
+        ta, tp_ = _u8(target, tlen)
+        ma, mp_ = _mat32(mat)
+        score = np.zeros(1, np.int32)
+        ncig = np.zeros(1, np.int32)
+        cap = qlen + tlen + 2
+        cig = np.zeros(cap * 2, np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        rc = lib.tpubwa_ksw_global(
+            qlen, qp_, tlen, tp_, ma.shape[0], mp_, o_del, e_del,
+            o_ins, e_ins, w, 1 if want_cigar else 0,
+            score.ctypes.data_as(i32p), cig.ctypes.data_as(i32p),
+            cap, ncig.ctypes.data_as(i32p))
+        if rc == 0:
+            n = int(ncig[0])
+            return int(score[0]), [(int(cig[2 * i]), int(cig[2 * i + 1]))
+                                   for i in range(n)]
     query = np.asarray(query, dtype=np.int64)[:qlen]
     target = np.asarray(target, dtype=np.int64)[:tlen]
     mat = np.asarray(mat, dtype=np.int64)
@@ -330,6 +394,19 @@ def ksw_align(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
     """Local SW used for mate rescue (ksw.c:ksw_align2 semantics:
     KSW_XSTART start-coordinate search via reversed-sequence rerun,
     KSW_XSUBO suboptimal score outside +-qlen of te)."""
+    lib = _native()
+    if lib is not None:
+        qa, qp_ = _u8(query, qlen)
+        ta, tp_ = _u8(target, tlen)
+        ma, mp_ = _mat32(mat)
+        out = np.zeros(7, np.int32)
+        lib.tpubwa_ksw_align(
+            qlen, qp_, tlen, tp_, ma.shape[0], mp_, o_del, e_del,
+            o_ins, e_ins, minsc, 1 if want_start else 0,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return KswAln(score=int(out[0]), te=int(out[1]), qe=int(out[2]),
+                      score2=int(out[3]), te2=int(out[4]),
+                      tb=int(out[5]), qb=int(out[6]))
     query = np.asarray(query, dtype=np.int64)[:qlen]
     target = np.asarray(target, dtype=np.int64)[:tlen]
     mat = np.asarray(mat, dtype=np.int64)
