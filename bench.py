@@ -115,12 +115,12 @@ def main():
     # warmup: same batch size as the measurement so every device
     # program shape (seeding chunk, SA walk, fused extension waves)
     # compiles before the timed run
-    warm = simulate(codes, 1000, 100, rng)
+    warm = simulate(codes, 4096, 100, rng)
     t0 = time.time()
     process_seqs(opt, fmi, warm, 0, align_fn=aligner)
     log(f"[bench] warmup batch (compiles): {time.time() - t0:.1f}s")
 
-    n_pairs = 4000
+    n_pairs = 16000
     batch = simulate(codes, n_pairs, 100, rng)
     t0 = time.perf_counter()
     lines = process_seqs(opt, fmi, batch, 0, align_fn=aligner)

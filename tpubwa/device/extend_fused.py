@@ -155,9 +155,18 @@ def extend_seed_batch_np(jobs: List, mat, o_del, e_del, o_ins, e_ins,
     order = sorted(range(n),
                    key=lambda i: -(int(jobs[i][2]) + int(jobs[i][6])))
     N = JOBS if n <= JOBS else ((n + CHUNK - 1) // CHUNK) * CHUNK
-    qLa = np.full((N, LANES), 4, np.int8)
+    # lane width: 128 covers qlen <= 127 at half the VMEM traffic;
+    # t arrays sized to the longest target (pow2, floor 128)
+    W = 128 if max((max(int(j[0]), int(j[4])) for j in jobs),
+                   default=0) < 128 else LANES
+    tm = 128
+    while tm < max((max(int(j[2]), int(j[6])) for j in jobs),
+                   default=0):
+        tm <<= 1
+    tmax = min(tmax, tm)
+    qLa = np.full((N, W), 4, np.int8)
     tLa = np.full((N, tmax), 4, np.int8)
-    qRa = np.full((N, LANES), 4, np.int8)
+    qRa = np.full((N, W), 4, np.int8)
     tRa = np.full((N, tmax), 4, np.int8)
     meta = np.zeros((N, 8), np.int32)
     meta[:, 4] = 1   # h0 > 0 for pad rows
@@ -171,17 +180,20 @@ def extend_seed_batch_np(jobs: List, mat, o_del, e_del, o_ins, e_ins,
         tRa[slot, :tlenR] = tR[:tlenR]
         meta[slot] = (qlenL, tlenL, qlenR, tlenR, h0, w0, pen5, pen3)
     step = N if N <= JOBS else CHUNK
-    parts = []
+    # dispatch every chunk async FIRST (a blocking device sync costs
+    # ~40 ms over this link; an extra in-flight launch ~10 ms), then
+    # collect
+    futs = []
     for off in range(0, N, step):
-        parts.append(np.asarray(extend_seed_pallas(
+        futs.append(extend_seed_pallas(
             jnp.asarray(qLa[off:off + step]),
             jnp.asarray(tLa[off:off + step]),
             jnp.asarray(qRa[off:off + step]),
             jnp.asarray(tRa[off:off + step]),
             jnp.asarray(meta[off:off + step]), ab[0], ab[1], o_del,
-            e_del, o_ins, e_ins, zdrop, tmax,
-            interpret)).reshape(-1, 16))
-    res = np.concatenate(parts, axis=0)
+            e_del, o_ins, e_ins, zdrop, tmax, interpret))
+    res = np.concatenate([np.asarray(f).reshape(-1, 16) for f in futs],
+                         axis=0)
     out = np.zeros((n, 16), np.int32)
     for slot, i in enumerate(order):
         out[i] = res[slot]

@@ -62,9 +62,10 @@ def _prefix_max(x):
 def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
                    o_ins, e_ins, zdrop, tmax):
     J = q_ref.shape[0]
+    NL = q_ref.shape[1]          # lane width (qlen <= NL - 1)
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
-    lane = jax.lax.broadcasted_iota(I32, (J, LANES), 1)
+    lane = jax.lax.broadcasted_iota(I32, (J, NL), 1)
     qlen = p_ref[:, 0:1]
     tlen = p_ref[:, 1:2]
     h0 = p_ref[:, 2:3]
@@ -73,8 +74,6 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
 
     q = q_ref[:, :]
     qpad = jnp.where(lane < qlen, q, _c(4))
-    t_all = t_ref[:, :]
-    tlane = jax.lax.broadcasted_iota(I32, t_all.shape, 1)
     # band cap (w = min(w, max_ins, max_del); mat max = a)
     max_ins = jnp.maximum((qlen * a + ebon - o_ins) // _c(e_ins) + 1, _c(1))
     max_del = jnp.maximum((qlen * a + ebon - o_del) // _c(e_del) + 1, _c(1))
@@ -82,13 +81,13 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
 
     # first row of the shifted eh arrays: eh_h[j] = H(-1, j-1)
     ramp = h0 - oe_ins - (lane - 1) * e_ins
-    eh_h = jnp.where(lane == _c(0), jnp.broadcast_to(h0, (J, LANES)),
+    eh_h = jnp.where(lane == _c(0), jnp.broadcast_to(h0, (J, NL)),
                      jnp.maximum(ramp, _c(0)))
     eh_h = jnp.where(lane <= qlen, eh_h, _c(0))
-    eh_e = jnp.zeros((J, LANES), I32)
+    eh_e = jnp.zeros((J, NL), I32)
 
     zero1 = jnp.zeros((J, 1), I32)
-    tile_tmax = jnp.minimum(jnp.max(tlen), tmax)
+    tile_tmax = jnp.minimum(jnp.max(tlen), t_ref.shape[0])
 
     def cond(c):
         (i, eh_h, eh_e, beg, end, best, max_i, max_j, max_ie, gscore,
@@ -107,10 +106,11 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
         h1_first = jnp.where(
             beg_i == _c(0),
             jnp.maximum(h0 - (o_del + e_del * (i + 1)), _c(0)), _c(0))
-        # dynamic lane-slice inside while_loop crashes Mosaic; read the
-        # target base via a masked reduction over the resident t block
-        tb = jnp.sum(jnp.where(tlane == i, t_all, _c(0)), axis=1,
-                     keepdims=True, dtype=I32)
+        # t is transposed [tmax, J]: one dynamic SUBLANE slice per row
+        # (a lane-slice crashes Mosaic, and a masked reduction over the
+        # whole [J, tmax] block costs ~1 MB of VPU traffic per row)
+        ii = jnp.clip(i, _c(0), _c(t_ref.shape[0] - 1))
+        tb = t_ref[pl.ds(ii, 1), :].reshape(1, J).T
         # score profile: match=a, mismatch=-b, N(either side)=-1
         isn = (tb > 3) | (qpad > 3)
         prof = jnp.where(isn, _c(-1), jnp.where(tb == qpad, _c(a), _c(-b)))
@@ -173,7 +173,7 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
         # adaptive band trim on the updated arrays
         nz = (eh_h != _c(0)) | (eh_e != _c(0))
         in_sc = (lane >= beg_i) & (lane < end_i)
-        first_nz = jnp.min(jnp.where(in_sc & nz, lane, _c(LANES + 2)),
+        first_nz = jnp.min(jnp.where(in_sc & nz, lane, _c(NL + 2)),
                            axis=1, keepdims=True)
         beg_n = jnp.minimum(first_nz, end_i)
         in_s2 = (lane >= beg_n) & (lane <= end_i)
@@ -222,7 +222,7 @@ def extend_batch_pallas(q, t, params, a, b, o_del, e_del, o_ins, e_ins,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((q.shape[0], 128), I32),
         interpret=interpret,
-    )(q, t, params)
+    )(q, t.T, params)  # t transposed on device: rows read by sublane
 
 
 def _mat_ab(mat):
@@ -255,7 +255,10 @@ def extend_batch_pallas_np(jobs, mat, o_del, e_del, o_ins, e_ins, zdrop,
     n = len(jobs)
     order = sorted(range(n), key=lambda i: -len(jobs[i]["t"]))
     N = JOBS if n <= JOBS else ((n + CHUNK - 1) // CHUNK) * CHUNK
-    q = np.full((N, LANES), 4, np.int32)
+    # lane width: 128 covers qlen <= 127 (100bp reads) at half the VMEM
+    # traffic per DP row
+    W = 128 if max((len(j["q"]) for j in jobs), default=0) < 128         else LANES
+    q = np.full((N, W), 4, np.int32)
     t = np.full((N, tmax), 4, np.int32)
     p = np.zeros((N, 128), np.int32)
     p[:, 2] = 1  # h0 for padding jobs (kernel assumes h0 > 0)

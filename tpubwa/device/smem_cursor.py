@@ -49,12 +49,13 @@ I32 = jnp.int32
 RESTART, FWD, BWD, DONE = 0, 1, 2, 3
 
 
-@partial(jax.jit, static_argnames=("P", "MAXM", "min_seed_len"))
+@partial(jax.jit, static_argnames=("P", "MAXM", "min_seed_len",
+                                   "max_rounds"))
 def smem_cursor_machine(didx: DeviceIndex, q: jnp.ndarray,
                         lens: jnp.ndarray, read: jnp.ndarray,
                         x0: jnp.ndarray, min_intv: jnp.ndarray,
                         one_shot: jnp.ndarray, P: int, MAXM: int,
-                        min_seed_len: int):
+                        min_seed_len: int, max_rounds: int = 0):
     """q uint8 [B, L]; lens i32 [B]; per-lane read/x0 i32 [N],
     min_intv idt [N], one_shot bool [N].
 
@@ -72,10 +73,18 @@ def smem_cursor_machine(didx: DeviceIndex, q: jnp.ndarray,
         return q[read, p].astype(I32)
 
     def gather_slot(st, idx):
-        """st [N, P, 4], idx [N] -> [N, 4]."""
-        return jnp.take_along_axis(
-            st, jnp.clip(idx, 0, P - 1)[:, None, None].astype(I32),
-            axis=1)[:, 0]
+        """st [N, P, 4], idx [N] -> [N, 4] via one-hot reduce (fuses;
+        take_along_axis would be a separate gather kernel)."""
+        oh = jidx == jnp.clip(idx, 0, P - 1)[:, None]     # [N, P]
+        return jnp.sum(jnp.where(oh[:, :, None], st, 0), axis=1,
+                       dtype=st.dtype)
+
+    def sel_base(ok, c):
+        """ok [..., 4, 3] select base c [...] -> [..., 3]."""
+        oh = (jnp.arange(4, dtype=I32) ==
+              jnp.clip(c, 0, 3)[..., None])               # [..., 4]
+        return jnp.sum(jnp.where(oh[..., None], ok, 0), axis=-2,
+                       dtype=ok.dtype)
 
     state = dict(
         phase=jnp.zeros(N, I32),
@@ -91,10 +100,17 @@ def smem_cursor_machine(didx: DeviceIndex, q: jnp.ndarray,
         mem=jnp.zeros((N, MAXM, 5), dt),
         mem_n=jnp.zeros(N, I32),
         overflow=jnp.zeros(N, bool),
+        rounds=jnp.zeros((), I32),
     )
 
     def cond(s):
-        return jnp.any(s["phase"] != DONE)
+        live = jnp.any(s["phase"] != DONE)
+        if max_rounds:
+            # straggler cap: lanes still live at the cap are flagged
+            # and redone on the host — the whole batch otherwise waits
+            # on its slowest lane
+            return live & (s["rounds"] < max_rounds)
+        return live
 
     def body(s):
         phase, x, i = s["phase"], s["x"], s["i"]
@@ -125,10 +141,7 @@ def smem_cursor_machine(didx: DeviceIndex, q: jnp.ndarray,
         ci = q_at(i)
         amb = fw & ~at_end & (ci > 3)
         okf = bwt_extend(didx, ik, is_back=False)      # [N, 4, 3]
-        cf = jnp.clip(3 - ci, 0, 3)
-        nik = jnp.take_along_axis(
-            okf, jnp.broadcast_to(cf[:, None, None], (N, 1, 3)),
-            axis=1)[:, 0]
+        nik = sel_base(okf, 3 - ci)
         schange = fw & ~at_end & ~amb & (nik[:, 2] != ik[:, 2])
         failf = schange & (nik[:, 2] < min_intv)
         push = at_end | amb | schange
@@ -150,10 +163,13 @@ def smem_cursor_machine(didx: DeviceIndex, q: jnp.ndarray,
         mt = jnp.where(trans, m, 1)
         last = gather_slot(st, mt - 1)
         ret = jnp.where(trans, last[:, 3].astype(I32), s["ret"])
-        # flip stack to prev order (longest match = smallest size first)
-        flip_idx = jnp.clip(m[:, None] - 1 - jidx, 0, P - 1)
-        st_flip = jnp.take_along_axis(
-            st, flip_idx[:, :, None].astype(I32), axis=1)
+        # flip stack to prev order (longest match = smallest size
+        # first) — one-hot matmul-style flip, no gather kernel
+        flip_idx = jnp.clip(m[:, None] - 1 - jidx, 0, P - 1)  # [N, P]
+        oh = flip_idx[:, :, None] == jidx[:, None, :]          # [N,P,P]
+        st_flip = jnp.sum(
+            jnp.where(oh[:, :, :, None], st[:, None, :, :], 0), axis=2,
+            dtype=st.dtype)
         st = jnp.where(trans[:, None, None], st_flip, st)
         i = jnp.where(trans, x - 1, i)
         phase = jnp.where(trans, BWD, phase)
@@ -163,9 +179,7 @@ def smem_cursor_machine(didx: DeviceIndex, q: jnp.ndarray,
         neg = (i < 0) | (q_at(i) > 3)
         cb = jnp.clip(q_at(i), 0, 3)
         okb = bwt_extend(didx, st[:, :, :3], is_back=True)  # [N,P,4,3]
-        okc = jnp.take_along_axis(
-            okb, jnp.broadcast_to(cb[:, None, None, None], (N, P, 1, 3)),
-            axis=2)[:, :, 0]                                # [N, P, 3]
+        okc = sel_base(okb, jnp.broadcast_to(cb[:, None], (N, P)))
         szs = okc[:, :, 2]
         validj = jidx < m[:, None]
         ext = validj & ~neg[:, None] & (szs >= min_intv[:, None])
@@ -195,12 +209,15 @@ def smem_cursor_machine(didx: DeviceIndex, q: jnp.ndarray,
             [jnp.full((N, 1), -1, dt), szs[:, :-1]], axis=1)
         kept = ext & (~prev_ext | (szs != prev_sz))
         new_m = jnp.sum(kept, axis=1).astype(I32)
-        # compact kept slots to the front, preserving order
-        key = jnp.where(kept, jidx, P)
-        order = jnp.argsort(key, axis=1).astype(I32)
+        # compact kept slots to the front, preserving order: dest[j] =
+        # #kept before j; one-hot reduce instead of argsort+gather
+        dest = jnp.cumsum(kept.astype(I32), axis=1) - 1       # [N, P]
         newrow = jnp.concatenate([okc, st[:, :, 3:4]], axis=2)
-        compacted = jnp.take_along_axis(newrow, order[:, :, None],
-                                        axis=1)
+        oh = kept[:, None, :] & (dest[:, None, :]
+                                 == jidx[:, :, None])          # [N,P(d),P(j)]
+        compacted = jnp.sum(
+            jnp.where(oh[:, :, :, None], newrow[:, None, :, :], 0),
+            axis=2, dtype=newrow.dtype)
         st = jnp.where(bw[:, None, None], compacted, st)
         m = jnp.where(bw, new_m, m)
         deadb = bw & (new_m == 0)
@@ -215,10 +232,11 @@ def smem_cursor_machine(didx: DeviceIndex, q: jnp.ndarray,
         return dict(phase=phase, x=x, i=i, ik=ik, ik_qe=ik_qe, st=st,
                     m=m, ret=ret, call_emitted=call_emitted,
                     last_qb=last_qb, mem=mem, mem_n=mem_n,
-                    overflow=overflow)
+                    overflow=overflow, rounds=s["rounds"] + 1)
 
     out = jax.lax.while_loop(cond, body, state)
-    return out["mem"].reshape(-1), out["mem_n"], out["overflow"]
+    overflow = out["overflow"] | (out["phase"] != DONE)
+    return out["mem"].reshape(-1), out["mem_n"], overflow, out["rounds"]
 
 
 def _pad_pow2(n: int, lo: int = 256) -> int:
@@ -229,7 +247,7 @@ def _pad_pow2(n: int, lo: int = 256) -> int:
 
 
 def run_smem_jobs(didx: DeviceIndex, qd, ld, jobs, min_seed_len: int,
-                  P: int = 16, MAXM: int = 24
+                  P: int = 16, MAXM: int = 24, max_rounds: int = 512
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """jobs: (read, x0, min_intv, one_shot) int arrays.  Pads the lane
     count to pow2 buckets; returns (mem [n, MAXM, 5], mem_n [n],
@@ -244,8 +262,9 @@ def run_smem_jobs(didx: DeviceIndex, qd, ld, jobs, min_seed_len: int,
     read[:n], x0[:n] = jobs[0], jobs[1]
     mi[:n] = jobs[2]
     osh[:n] = jobs[3]
-    mem, mem_n, ovf = smem_cursor_machine(
+    mem, mem_n, ovf, rounds = smem_cursor_machine(
         didx, qd, ld, jnp.asarray(read), jnp.asarray(x0),
-        jnp.asarray(mi), jnp.asarray(osh), P, MAXM, int(min_seed_len))
+        jnp.asarray(mi), jnp.asarray(osh), P, MAXM, int(min_seed_len),
+        max_rounds=max_rounds)
     mem = np.asarray(mem).reshape(mpad, MAXM, 5)[:n]
     return mem, np.asarray(mem_n)[:n], np.asarray(ovf)[:n]
