@@ -256,7 +256,8 @@ def _seed_strategy_scan(didx: DeviceIndex, q: jnp.ndarray,
              jnp.zeros(B, dt), jnp.zeros((B, MAXH, 5), dt),
              jnp.zeros(B, dt))
     x, i, ik, mode, hits, nh = jax.lax.while_loop(cond, body, state)
-    return hits.reshape(-1), nh  # flat: see _rightmost_reach note
+    # one flat buffer (hits then nh): each extra D2H costs ~40 ms RTT
+    return jnp.concatenate([hits.reshape(-1), nh.astype(hits.dtype)])
 
 
 def _rounds12_cursor(opt, didx, qd, ld, lens_np, reads, split_len, fmi):
@@ -376,11 +377,11 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     for ri, rows in r2:
         per_read[ri].extend(rows)
     if opt.max_mem_intv > 0:
-        hits, nh = _seed_strategy_scan(
+        buf = np.asarray(_seed_strategy_scan(
             didx, qd, ld,
-            int(opt.min_seed_len), int(opt.max_mem_intv))
-        hits = np.asarray(hits).reshape(B, -1, 5)
-        nh = np.asarray(nh)
+            int(opt.min_seed_len), int(opt.max_mem_intv)))
+        hits = buf[:-B].reshape(B, -1, 5)
+        nh = buf[-B:]
         for ri in range(B):
             per_read[ri].extend(hits[ri, :int(nh[ri])])
     out = []

@@ -62,7 +62,7 @@ def gen_cigar(opt: MemOpt, bnt: BntSeq, query: np.ndarray, rb: int,
         rseq = rseq[::-1].copy()
     if l_query == re - rb and w == 0:
         cigar = [(0, l_query)]
-        score = int(sum(int(mat[rseq[i], q[i]]) for i in range(l_query)))
+        score = int(mat[rseq[:l_query], q[:l_query]].sum())
     else:
         max_ins = int((((l_query + 1) >> 1) * int(mat[0, 0]) - opt.o_ins)
                       / opt.e_ins + 1.0)
@@ -82,14 +82,15 @@ def gen_cigar(opt: MemOpt, bnt: BntSeq, query: np.ndarray, rb: int,
     n_mm = n_gap = 0
     for k, (op, ln) in enumerate(cigar):
         if op == 0:
-            for i in range(ln):
-                if q[x + i] != rseq[y + i]:
-                    md.append(str(u))
-                    md.append(int2base[rseq[y + i]])
-                    n_mm += 1
-                    u = 0
-                else:
-                    u += 1
+            mism = np.flatnonzero(q[x:x + ln] != rseq[y:y + ln])
+            n_mm += len(mism)
+            prev = -1
+            for i in mism:
+                md.append(str(u + int(i) - prev - 1))
+                md.append(int2base[rseq[y + int(i)]])
+                prev = int(i)
+                u = 0
+            u = u + ln - prev - 1 if len(mism) else u + ln
             x += ln
             y += ln
         elif op == 2:
