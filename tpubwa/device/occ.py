@@ -184,10 +184,43 @@ def bwt_extend(didx: DeviceIndex, ik: jnp.ndarray, is_back: bool):
 
 
 def inv_psi(didx: DeviceIndex, k: jnp.ndarray) -> jnp.ndarray:
-    """LF mapping on conceptual rows, batched."""
-    x = k - (k > didx.primary)
-    c = bwt_code(didx, x)
-    lf = didx.L2[c] + occ1(didx, k, c)
+    """LF mapping on conceptual rows, batched.
+
+    Fused form: x = k - (k > primary) equals occ4's adjusted index
+    kk = k - (k >= primary) everywhere except k == primary (masked to 0
+    anyway), so ONE occ-block row gather serves both the BWT code read
+    and the single-base occ count — the naive bwt_code + occ1 pair
+    costs two gathers plus a 4-base popcount pipeline per walk step."""
+    dt = didx.idt
+    x = (k - (k > didx.primary)).astype(dt)
+    blk = x >> 7
+    row = didx.occ_blocks[blk]                       # [..., 12]
+    within = (x - (blk << 7)).astype(I32)
+    # BWT code: select word lane 4 + within//16 (one-hot, fuses)
+    widx = 4 + (within >> 4)
+    lanes = jnp.arange(12, dtype=I32)
+    w = jnp.sum(jnp.where(lanes == widx[..., None], row, U32(0)),
+                axis=-1, dtype=U32)
+    sh = ((15 - (within & 15)) << 1).astype(U32)
+    c = ((w >> sh) & U32(3)).astype(dt)
+    # occ(x, c) inclusive: checkpoint count + single-base popcount
+    base = jnp.sum(jnp.where(lanes == c[..., None], row, U32(0)),
+                   axis=-1, dtype=U32).astype(dt)
+    words = row[..., 4:]
+    pat = jnp.sum(jnp.where(
+        jnp.arange(4, dtype=I32) == jnp.clip(c, 0, 3)[..., None],
+        jnp.asarray(_PATTERNS), U32(0)), axis=-1, dtype=U32)
+    y = words ^ pat[..., None]
+    y = (~y) & ((~y) >> U32(1)) & U32(0x55555555)
+    nb = within + 1
+    cov = jnp.clip(nb[..., None] - jnp.arange(8, dtype=I32) * 16, 0, 16)
+    shift = (2 * (16 - jnp.clip(cov, 1, 16))).astype(U32)
+    mask = jnp.where(cov > 0,
+                     (U32(0xFFFFFFFF) << shift) & U32(0xFFFFFFFF),
+                     U32(0))
+    cnt = jnp.sum(jax.lax.population_count(y & mask), axis=-1,
+                  dtype=dt)
+    lf = didx.L2[c] + base + cnt
     return jnp.where(k == didx.primary, 0, lf)
 
 
