@@ -95,7 +95,7 @@ def main():
     from tpubwa.utils import enable_compilation_cache
     enable_compilation_cache()
     from tpubwa.opts import MEM_F_PE, MemOpt
-    from tpubwa.host.pipeline import process_seqs
+    from tpubwa.host.pipeline import process_batches, process_seqs
 
     fmi, codes = build_index("/tmp")
     log(f"[bench] index built: {fmi.seq_len} bp doubled, "
@@ -120,14 +120,22 @@ def main():
     process_seqs(opt, fmi, warm, 0, align_fn=aligner)
     log(f"[bench] warmup batch (compiles): {time.time() - t0:.1f}s")
 
+    # measurement: 4 batches streamed through the 3-stage pipeline
+    # (align batch i+1 overlaps pairing/emit of batch i, as in a real
+    # `tpubwa mem` run)
     n_pairs = 16000
-    batch = simulate(codes, n_pairs, 100, rng)
+    batches = [simulate(codes, n_pairs // 4, 100, rng)
+               for _ in range(4)]
+    n_reads = sum(len(b) for b in batches)
     t0 = time.perf_counter()
-    lines = process_seqs(opt, fmi, batch, 0, align_fn=aligner)
+    n_lines = 0
+    for batch, lines in process_batches(opt, fmi, iter(batches), 0,
+                                        align_fn=aligner):
+        n_lines += len(lines)
     dt = time.perf_counter() - t0
-    reads_per_s = len(batch) / dt
-    log(f"[bench] {len(batch)} PE reads in {dt:.2f}s "
-        f"({reads_per_s:.0f} reads/s), {len(lines)} SAM records, "
+    reads_per_s = n_reads / dt
+    log(f"[bench] {n_reads} PE reads in {dt:.2f}s "
+        f"({reads_per_s:.0f} reads/s), {n_lines} SAM records, "
         f"total wall {time.time() - t_all:.0f}s")
     print(json.dumps({
         "metric": "reads/sec/chip (100bp PE, synthetic 1Mb genome)",

@@ -243,22 +243,34 @@ def main_mem(argv, out=None) -> int:
     batch_id = 0
     skipped = 0
     resume_reads = journal.reads_done if journal is not None else 0
-    with maybe_profile(args.profile_dir):
+    from .host.pipeline import process_batches
+
+    def batch_source():
         while True:
             with timers.stage("read"):
-                batch = read_fastq_batch(readers, chunk,
-                                         smart_pairing=args.smart_pairing)
-            if not batch:
+                b = read_fastq_batch(readers, chunk,
+                                     smart_pairing=args.smart_pairing)
+            if not b:
+                return
+            yield b
+
+    with maybe_profile(args.profile_dir):
+        src = batch_source()
+        # journal resume: skip whole completed batches (deterministic
+        # chunking makes the boundary exact)
+        while journal is not None and skipped < resume_reads:
+            b = next(src, None)
+            if b is None:
                 break
-            if journal is not None and skipped < resume_reads:
-                skipped += len(batch)
-                n_processed += len(batch)
-                batch_id += 1
-                continue
-            with timers.stage("align"):
-                lines = process_seqs(opt, fmi, batch, n_processed,
-                                     rg_id=rg_id, align_fn=align_fn,
-                                     pes0=pes0)
+            skipped += len(b)
+            n_processed += len(b)
+            batch_id += 1
+        # 3-stage read -> align -> write pipeline (kt_pipeline shape):
+        # the worker thread aligns batch i+1 while batch i is paired,
+        # emitted and written here
+        for batch, lines in process_batches(
+                opt, fmi, src, n_processed, rg_id=rg_id,
+                align_fn=align_fn, pes0=pes0):
             with timers.stage("write"):
                 out.write("\n".join(lines) + "\n")
                 out.flush()

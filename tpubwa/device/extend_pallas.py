@@ -38,7 +38,7 @@ def _c(v):
     return jnp.asarray(v, I32)
 LANES = 256          # eh lanes -> qlen <= LANES - 1
 JOBS = 64            # minimum chunk (sublanes)
-CHUNK = 512          # jobs per grid-free kernel launch
+CHUNK = 512          # jobs per grid-free kernel launch (VMEM-bound)
 
 
 def _roll1(x, sh):

@@ -55,21 +55,19 @@ def sam_header(fmi: FMIndex, rg_line: Optional[str], pg_cl: str,
     return "\n".join(lines) + "\n"
 
 
-def process_seqs(opt: MemOpt, fmi: FMIndex, reads: Sequence[Read],
-                 n_processed: int, mat: Optional[np.ndarray] = None,
-                 rg_id: str = "",
-                 align_fn: Optional[Callable] = None,
-                 pes0=None) -> List[str]:
-    """mem_process_seqs: batch -> SAM lines (order == input order).
-    Handles SE and PE (MEM_F_PE) modes.  ``pes0``: fixed insert-size
-    distribution (-I), bypassing per-batch inference (§3.2: chunk
-    granularity otherwise affects PE output, as in stock bwa)."""
-    if mat is None:
-        mat = opt.scoring_matrix()
-    t0 = time.perf_counter()
+def align_phase(opt: MemOpt, fmi: FMIndex, reads: Sequence[Read],
+                mat: np.ndarray,
+                align_fn: Optional[Callable] = None):
+    """worker1: batch -> per-read region lists."""
     align = align_fn or (lambda batch: [align1_core(opt, fmi, r, mat)
                                         for r in batch])
-    all_regs = align(list(reads))
+    return align(list(reads))
+
+
+def emit_phase(opt: MemOpt, fmi: FMIndex, reads: Sequence[Read],
+               all_regs, n_processed: int, mat: np.ndarray,
+               rg_id: str = "", pes0=None) -> List[str]:
+    """worker2: regions -> SAM lines (pairing, MAPQ, text)."""
     out: List[str] = []
     if opt.flag & MEM_F_PE:
         from .pair import sam_pe, pestat
@@ -86,7 +84,60 @@ def process_seqs(opt: MemOpt, fmi: FMIndex, reads: Sequence[Read],
             out.extend(reg2sam(opt, fmi.bnt, read.name, read.seq,
                                read.qual, read.l_seq, regs, 0, None, mat,
                                rg_id, read.comment))
+    return out
+
+
+def process_seqs(opt: MemOpt, fmi: FMIndex, reads: Sequence[Read],
+                 n_processed: int, mat: Optional[np.ndarray] = None,
+                 rg_id: str = "",
+                 align_fn: Optional[Callable] = None,
+                 pes0=None) -> List[str]:
+    """mem_process_seqs: batch -> SAM lines (order == input order).
+    Handles SE and PE (MEM_F_PE) modes.  ``pes0``: fixed insert-size
+    distribution (-I), bypassing per-batch inference (§3.2: chunk
+    granularity otherwise affects PE output, as in stock bwa)."""
+    if mat is None:
+        mat = opt.scoring_matrix()
+    t0 = time.perf_counter()
+    all_regs = align_phase(opt, fmi, reads, mat, align_fn)
+    out = emit_phase(opt, fmi, reads, all_regs, n_processed, mat,
+                     rg_id, pes0)
     dt = time.perf_counter() - t0
     log.info("[M::process_seqs] Processed %d reads in %.3f CPU sec",
              len(reads), dt)
     return out
+
+
+def process_batches(opt: MemOpt, fmi: FMIndex, batch_iter,
+                    n_processed0: int = 0,
+                    mat: Optional[np.ndarray] = None, rg_id: str = "",
+                    align_fn: Optional[Callable] = None, pes0=None):
+    """kt_pipeline analogue (kthread.c:~100, SURVEY.md §2 row 19):
+    align batch i+1 on a worker thread while batch i is paired and
+    emitted on the main thread.  Yields (reads, sam_lines) per batch in
+    input order — output is deterministic regardless of overlap.
+
+    batch_iter yields read batches (the caller controls chunking, so
+    pestat granularity matches stock bwa's chunk semantics)."""
+    from concurrent.futures import ThreadPoolExecutor
+    if mat is None:
+        mat = opt.scoring_matrix()
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        def stage1():
+            batch = next(batch_iter, None)
+            if batch is None:
+                return None
+            return batch, align_phase(opt, fmi, batch, mat, align_fn)
+
+        n_processed = n_processed0
+        fut = ex.submit(stage1)
+        while True:
+            res = fut.result()
+            if res is None:
+                break
+            fut = ex.submit(stage1)
+            batch, all_regs = res
+            lines = emit_phase(opt, fmi, batch, all_regs, n_processed,
+                               mat, rg_id, pes0)
+            n_processed += len(batch)
+            yield batch, lines

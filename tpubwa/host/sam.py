@@ -17,6 +17,15 @@ from .regions import AlnReg, approx_mapq
 
 _FWD = "ACGTN"
 _REV = "TGCAN"
+# bytes-translate tables: code ndarray -> base string in one C pass
+_FWD_TBL = bytes.maketrans(bytes(range(5)), b"ACGTN")
+_REV_TBL = bytes.maketrans(bytes(range(5)), b"TGCAN")
+
+
+def codes_to_str(seq, rev: bool = False) -> str:
+    b = np.ascontiguousarray(seq[::-1] if rev else seq,
+                             dtype=np.uint8).tobytes()
+    return b.translate(_REV_TBL if rev else _FWD_TBL).decode()
 
 
 @dataclass
@@ -254,10 +263,10 @@ def aln2sam(opt: MemOpt, bnt: BntSeq, name: str, seq: np.ndarray,
                 if cigar[-1][0] in (3, 4):
                     qb += cigar[-1][1]
         if not is_rev:
-            out.append("".join(_FWD[c] for c in seq[qb:qe]))
+            out.append(codes_to_str(seq[qb:qe]))
             out.append(qual[qb:qe] if qual else "*")
         else:
-            out.append("".join(_REV[c] for c in seq[qb:qe][::-1]))
+            out.append(codes_to_str(seq[qb:qe], rev=True))
             out.append(qual[qb:qe][::-1] if qual else "*")
     tags = []
     if n_cigar:
