@@ -142,3 +142,33 @@ def test_fetch_seq_and_folding(small_fasta):
             assert f == 2 * L - 1 - pos
         else:
             assert f == pos
+
+
+def test_shm_cache_roundtrip(tmp_path):
+    """bwa shm analogue: mmap cache loads bit-identical index and the
+    CLI prefers it (SURVEY.md §2 row 20)."""
+    import numpy as np
+    from tpubwa.cli import load_index, main_shm
+    from tpubwa.index import FMIndex
+    from tpubwa.index.build import BntSeq, SeqAnn
+    rng = np.random.default_rng(4)
+    codes = rng.integers(0, 4, 5000).astype(np.uint8)
+    bnt = BntSeq(l_pac=5000, anns=[SeqAnn(name="s", anno="", offset=0,
+                                          length=5000, n_ambs=0)],
+                 ambs=[], seed=11, codes=codes)
+    fmi = FMIndex.build(bnt)
+    prefix = str(tmp_path / "ref.fa")
+    fmi.save(prefix)
+    assert main_shm([prefix]) == 0
+    got = load_index(prefix)
+    assert isinstance(got.bnt.codes, np.memmap)
+    assert np.array_equal(np.asarray(got.bwt_words), fmi.bwt_words)
+    assert np.array_equal(np.asarray(got.sa_sample), fmi.sa_sample)
+    assert np.array_equal(np.asarray(got.bnt.codes), codes)
+    assert got.primary == fmi.primary and got.seq_len == fmi.seq_len
+    # queries through the mmap'd index work
+    assert got.sa(32) == fmi.sa(32)
+    assert got.occ(1234, 2) == fmi.occ(1234, 2)
+    assert main_shm(["-d", prefix]) == 0
+    import os
+    assert not os.path.isdir(prefix + ".tpubwa.shm")

@@ -22,14 +22,40 @@ log = logging.getLogger("tpubwa")
 
 
 def load_index(prefix: str) -> FMIndex:
-    """bwa_idx_load equivalent: prefer our npz, fall back to stock bwa
-    index files (bwa.c:~260)."""
+    """bwa_idx_load equivalent: prefer the shm cache (mmap, shared page
+    cache across processes), then our npz, then stock bwa index files
+    (bwa.c:~260)."""
     import os
+    if os.path.isdir(prefix + ".tpubwa.shm"):
+        return FMIndex.load_shm(prefix)
     if os.path.exists(prefix + ".tpubwa.npz"):
         return FMIndex.load(prefix)
     if os.path.exists(prefix + ".bwt"):
         return FMIndex.load_bwa(prefix)
     raise FileNotFoundError(f"no index found at {prefix}[.tpubwa.npz|.bwt]")
+
+
+def main_shm(argv) -> int:
+    """bwa shm analogue (bwashm.c): `tpubwa shm ref.fa` materializes a
+    raw mmap-able cache so concurrent processes share one resident
+    index copy; `tpubwa shm -d ref.fa` drops it."""
+    import os
+    import shutil
+    ap = argparse.ArgumentParser(prog="tpubwa shm")
+    ap.add_argument("-d", action="store_true", dest="drop",
+                    help="drop the cache")
+    ap.add_argument("prefix")
+    args = ap.parse_args(argv)
+    d = args.prefix + ".tpubwa.shm"
+    if args.drop:
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            log.info("[shm] dropped %s", d)
+        return 0
+    fmi = load_index(args.prefix)
+    fmi.save_shm(args.prefix)
+    log.info("[shm] cached %s (%d bp)", d, fmi.seq_len)
+    return 0
 
 
 def main_index(argv) -> int:
@@ -359,7 +385,7 @@ def main(argv=None) -> int:
     if not argv:
         sys.stderr.write(
             f"Program: tpubwa (TPU-native BWA-MEM)\nVersion: {__version__}\n"
-            "Usage: tpubwa <index|mem|fastmap|merge> [options]\n")
+            "Usage: tpubwa <index|mem|fastmap|merge|shm> [options]\n")
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "index":
@@ -370,6 +396,8 @@ def main(argv=None) -> int:
         return main_fastmap(rest)
     if cmd == "merge":
         return main_merge(rest)
+    if cmd == "shm":
+        return main_shm(rest)
     sys.stderr.write(f"[main] unrecognized command '{cmd}'\n")
     return 1
 

@@ -193,6 +193,52 @@ class FMIndex:
                    L2=z["L2"], bwt_words=z["bwt_words"],
                    occ_ckpt=z["occ_ckpt"], sa_sample=z["sa_sample"], bnt=bnt)
 
+    # ---------------- shared-memory style cache (bwashm.c analogue) ----
+    def save_shm(self, prefix: str) -> None:
+        """bwa shm analogue (bwashm.c, SURVEY.md §2 row 20): materialize
+        every array as a raw .npy in <prefix>.tpubwa.shm/ so loads mmap
+        straight out of the page cache — N processes on a host share
+        one resident copy, and per-process start-up is O(1)."""
+        import os
+        d = prefix + ".tpubwa.shm"
+        os.makedirs(d, exist_ok=True)
+        meta = {
+            "format": "tpubwa-index-v1",
+            "seq_len": self.seq_len, "primary": self.primary,
+            "l_pac": self.bnt.l_pac, "seed": self.bnt.seed,
+            "anns": [vars(a) for a in self.bnt.anns],
+            "ambs": [vars(h) for h in self.bnt.ambs],
+        }
+        with open(os.path.join(d, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        for name, arr in (("L2", self.L2), ("bwt_words", self.bwt_words),
+                          ("occ_ckpt", self.occ_ckpt),
+                          ("sa_sample", self.sa_sample),
+                          ("codes", self.bnt.codes)):
+            np.save(os.path.join(d, name + ".npy"),
+                    np.ascontiguousarray(arr))
+
+    @classmethod
+    def load_shm(cls, prefix: str) -> "FMIndex":
+        import os
+        d = prefix + ".tpubwa.shm"
+        with open(os.path.join(d, "meta.json")) as fh:
+            meta = json.load(fh)
+        assert meta["format"] == "tpubwa-index-v1"
+        ld = lambda n: np.load(os.path.join(d, n + ".npy"),
+                               mmap_mode="r")
+        bnt = BntSeq(
+            l_pac=meta["l_pac"],
+            anns=[SeqAnn(**a) for a in meta["anns"]],
+            ambs=[Amb(**h) for h in meta["ambs"]],
+            seed=meta["seed"],
+            codes=ld("codes"),
+        )
+        return cls(seq_len=meta["seq_len"], primary=meta["primary"],
+                   L2=np.asarray(ld("L2")), bwt_words=ld("bwt_words"),
+                   occ_ckpt=ld("occ_ckpt"), sa_sample=ld("sa_sample"),
+                   bnt=bnt)
+
     # ---------------- bwa on-disk interop (bwtindex.c layout) ----------
     def save_bwa(self, prefix: str) -> None:
         """Write bwa-compatible .pac/.ann/.amb/.bwt/.sa files."""
