@@ -85,9 +85,49 @@ class WaveExtender:
     def _scalar_fused(self, job) -> np.ndarray:
         from .extend_fused import scalar_fused
         self.n_fallback += 1
+        if job[0] == 'D':
+            job = self._materialize(job)
         return scalar_fused(job, self.mat, self.opt.o_del, self.opt.e_del,
                             self.opt.o_ins, self.opt.e_ins,
                             self.opt.zdrop)
+
+    # ---- descriptor mode (tiles built on device from resident data)
+    def set_chunk_ctx(self, didx, qd, reads, bnt) -> None:
+        self.ctx = (didx, qd, reads, bnt)
+
+    def _materialize(self, job):
+        """Rebuild the sequence-tile job for a descriptor (oversize /
+        scalar fallback) — same slices the non-desc planner yields."""
+        _, ri, qbeg, slen, lq, rbeg, rmax0, rmax1, w0, h0, p5, p3 = job
+        _, _, reads, bnt = self.ctx
+        query = reads[ri].seq
+        qe = qbeg + slen
+        qlen_r = lq - qe
+        empty = query[:0]
+        if qbeg:
+            qs = query[:qbeg][::-1].copy()
+            tlen_l = rbeg - rmax0
+            ts = bnt.get_seq(rmax0, rbeg)[::-1].copy()
+        else:
+            qs, tlen_l, ts = empty, 0, empty
+        if qlen_r:
+            tlen_r = rmax1 - rbeg - slen
+            tr = bnt.get_seq(rbeg + slen, rmax1)
+        else:
+            tlen_r, tr = 0, empty
+        return (qbeg, qs, tlen_l, ts, qlen_r, query[qe:], tlen_r, tr,
+                w0, h0, p5, p3)
+
+    def _oversize(self, job) -> bool:
+        if job[0] == 'D':
+            _, ri, qbeg, slen, lq, rbeg, rmax0, rmax1 = job[:8]
+            qlen_r = lq - qbeg - slen
+            tlen_l = rbeg - rmax0 if qbeg else 0
+            tlen_r = rmax1 - rbeg - slen if qlen_r else 0
+            return (qbeg > self.qmax or qlen_r > self.qmax
+                    or tlen_l > self.tmax or tlen_r > self.tmax)
+        return (job[0] > self.qmax or job[2] > self.tmax
+                or job[4] > self.qmax or job[6] > self.tmax)
 
     def run_fused(self, plans: List) -> None:
         """plans: generators from extension_plan(fused=True); one job
@@ -98,13 +138,10 @@ class WaveExtender:
                 live.append([g, next(g)])
             except StopIteration:
                 pass
-        qmax, tmax = self.qmax, self.tmax
         while live:
             for ent in live:
                 job = ent[1]
-                while job is not None and (
-                        job[0] > qmax or job[2] > tmax
-                        or job[4] > qmax or job[6] > tmax):
+                while job is not None and self._oversize(job):
                     try:
                         job = ent[0].send(self._scalar_fused(job))
                     except StopIteration:
@@ -115,7 +152,16 @@ class WaveExtender:
                 break
             self.n_waves += 1
             self.n_jobs += len(live)
-            rows = self.batch_fn([e[1] for e in live])
+            jobs = [e[1] for e in live]
+            if jobs[0][0] == 'D':
+                from .extend_fused import extend_seed_desc_np
+                didx, qd = self.ctx[0], self.ctx[1]
+                rows = extend_seed_desc_np(
+                    didx, qd, jobs, self.mat, self.opt.o_del,
+                    self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
+                    self.opt.zdrop, self.tmax)
+            else:
+                rows = self.batch_fn(jobs)
             nxt = []
             for i, ent in enumerate(live):
                 try:

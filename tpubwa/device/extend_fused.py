@@ -49,22 +49,10 @@ def _retry(res, qlen, w, prev):
             & (res[:, 5] >= (w >> 1) + (w >> 2)))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("a", "b", "o_del", "e_del", "o_ins", "e_ins",
-                     "zdrop", "tmax", "interpret"))
-def extend_seed_pallas(qL, tL, qR, tR, meta, a, b, o_del, e_del, o_ins,
-                       e_ins, zdrop, tmax, interpret=False):
-    """meta int32 [N, 8]: qlenL, tlenL, qlenR, tlenR, h0, w, pen5, pen3.
-    Returns int32 [N, 16] (layout above)."""
+def _fused_passes(qL, tL, qR, tR, qlenL, tlenL, qlenR, tlenR, h0, w0,
+                  pen5, pen3, a, b, o_del, e_del, o_ins, e_ins, zdrop,
+                  tmax, interpret):
     N = qL.shape[0]
-    # sequences arrive int8 (slow host link); compute in int32
-    qL, tL = qL.astype(I32), tL.astype(I32)
-    qR, tR = qR.astype(I32), tR.astype(I32)
-    qlenL, tlenL = meta[:, 0], meta[:, 1]
-    qlenR, tlenR = meta[:, 2], meta[:, 3]
-    h0, w0 = meta[:, 4], meta[:, 5]
-    pen5, pen3 = meta[:, 6], meta[:, 7]
 
     def pack(qlen, tlen, hh, ww, eb):
         p = jnp.zeros((N, 128), I32)
@@ -99,6 +87,126 @@ def extend_seed_pallas(qL, tL, qR, tR, meta, a, b, o_del, e_del, o_ins,
     return jnp.concatenate(
         [rL[:, :6], rR[:, :6], aw0[:, None], aw1[:, None], sc0[:, None],
          score[:, None]], axis=1).reshape(-1)  # flat on the wire
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("a", "b", "o_del", "e_del", "o_ins", "e_ins",
+                     "zdrop", "tmax", "interpret"))
+def extend_seed_pallas(qL, tL, qR, tR, meta, a, b, o_del, e_del, o_ins,
+                       e_ins, zdrop, tmax, interpret=False):
+    """meta int32 [N, 8]: qlenL, tlenL, qlenR, tlenR, h0, w, pen5, pen3.
+    Returns flat int32 [N * 16] (layout above)."""
+    # sequences arrive int8 (slow host link); compute in int32
+    return _fused_passes(
+        qL.astype(I32), tL.astype(I32), qR.astype(I32), tR.astype(I32),
+        meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3], meta[:, 4],
+        meta[:, 5], meta[:, 6], meta[:, 7], a, b, o_del, e_del, o_ins,
+        e_ins, zdrop, tmax, interpret)
+
+
+def _ref_codes(didx, pos):
+    """Reference codes at doubled coordinates, from the resident pac
+    (bns get_seq fold: pos >= l_pac reads the reverse-complement
+    image).  Caller masks out-of-window lanes."""
+    lp = didx.l_pac
+    pos = jnp.clip(pos, 0, 2 * lp - 1)
+    rev = pos >= lp
+    p = jnp.where(rev, 2 * lp - 1 - pos, pos).astype(didx.idt)
+    w = didx.pac_words[p >> 4]
+    sh = ((15 - (p & 15)) << 1).astype(jnp.uint32)
+    c = ((w >> sh) & jnp.uint32(3)).astype(I32)
+    return jnp.where(rev, 3 - c, c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("a", "b", "o_del", "e_del", "o_ins", "e_ins",
+                     "zdrop", "W", "tmax", "interpret"))
+def extend_seed_desc(didx, qreads, desc, a, b, o_del, e_del, o_ins,
+                     e_ins, zdrop, W, tmax, interpret=False):
+    """Descriptor-mode fused extension: tiles are built ON DEVICE.
+
+    qreads: uint8 [B, L] resident chunk reads; desc idt [N, 11]:
+    (read_row, qbeg, slen, l_query, rbeg, rmax0, rmax1, w, h0, pen5,
+    pen3).  Returns flat int32 [N * 16]."""
+    read = desc[:, 0].astype(I32)
+    qbeg = desc[:, 1].astype(I32)
+    slen = desc[:, 2].astype(I32)
+    lq = desc[:, 3].astype(I32)
+    rbeg, rmax0, rmax1 = desc[:, 4], desc[:, 5], desc[:, 6]
+    w0 = desc[:, 7].astype(I32)
+    h0 = desc[:, 8].astype(I32)
+    pen5 = desc[:, 9].astype(I32)
+    pen3 = desc[:, 10].astype(I32)
+    qe = qbeg + slen
+    qlenL = qbeg
+    qlenR = lq - qe
+    tlenL = jnp.where(qlenL > 0, (rbeg - rmax0).astype(I32), 0)
+    tlenR = jnp.where(qlenR > 0,
+                      (rmax1 - rbeg).astype(I32) - slen, 0)
+    L = qreads.shape[1]
+    jW = jnp.arange(W, dtype=I32)[None, :]
+    qL = jnp.where(jW < qlenL[:, None],
+                   qreads[read[:, None],
+                          jnp.clip(qbeg[:, None] - 1 - jW, 0, L - 1)]
+                   .astype(I32), 4)
+    qR = jnp.where(jW < qlenR[:, None],
+                   qreads[read[:, None],
+                          jnp.clip(qe[:, None] + jW, 0, L - 1)]
+                   .astype(I32), 4)
+    jT = jnp.arange(tmax, dtype=desc.dtype)[None, :]
+    tL = jnp.where(jT < tlenL[:, None],
+                   _ref_codes(didx, rbeg[:, None] - 1 - jT), 4)
+    tR = jnp.where(jT < tlenR[:, None],
+                   _ref_codes(didx, (rbeg + slen)[:, None] + jT), 4)
+    return _fused_passes(qL, tL, qR, tR, qlenL, tlenL, qlenR, tlenR,
+                         h0, w0, pen5, pen3, a, b, o_del, e_del, o_ins,
+                         e_ins, zdrop, tmax, interpret)
+
+
+def extend_seed_desc_np(didx, qd, jobs, mat, o_del, e_del, o_ins,
+                        e_ins, zdrop, tmax, interpret=None) -> np.ndarray:
+    """Adapter: descriptor job tuples ('D', read, qbeg, slen, lq, rbeg,
+    rmax0, rmax1, w, h0, pen5, pen3) -> np.int32 [n, 16].  Ships ~44
+    bytes per job; tiles come from the resident read array + pac."""
+    ab = _mat_ab(mat)
+    assert ab is not None  # caller guards (scmat matrices only)
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    n = len(jobs)
+    da = np.zeros((max(n, 1), 11), didx.np_idt)
+    for i, j in enumerate(jobs):
+        da[i] = j[1:]
+    tlL = np.where(da[:n, 1] > 0, da[:n, 4] - da[:n, 5], 0)
+    tlR = np.where(da[:n, 3] - da[:n, 1] - da[:n, 2] > 0,
+                   da[:n, 6] - da[:n, 4] - da[:n, 2], 0)
+    order = sorted(range(n), key=lambda i: -(int(tlL[i]) + int(tlR[i])))
+    N = JOBS if n <= JOBS else ((n + CHUNK - 1) // CHUNK) * CHUNK
+    W = 128 if int(max(da[:n, 1].max(initial=0),
+                       (da[:n, 3] - da[:n, 1] - da[:n, 2])
+                       .max(initial=0))) < 128 else LANES
+    tm = 128
+    while tm < max(int(tlL.max(initial=0)), int(tlR.max(initial=0))):
+        tm <<= 1
+    tm = min(tm, tmax)
+    desc = np.zeros((N, 11), didx.np_idt)
+    desc[:, 8] = 1   # h0 > 0 for pad rows
+    desc[:, 7] = 1   # w > 0
+    for slot, i in enumerate(order):
+        desc[slot] = da[i]
+    step = N if N <= JOBS else CHUNK
+    futs = []
+    for off in range(0, N, step):
+        futs.append(extend_seed_desc(
+            didx, qd, jnp.asarray(desc[off:off + step]), ab[0], ab[1],
+            o_del, e_del, o_ins, e_ins, zdrop, W, tm, interpret))
+    res = np.concatenate([np.asarray(f).reshape(-1, 16) for f in futs],
+                         axis=0)
+    out = np.zeros((n, 16), np.int32)
+    for slot, i in enumerate(order):
+        out[i] = res[slot]
+    return out
 
 
 def scalar_fused(job, mat, o_del, e_del, o_ins, e_ins, zdrop,

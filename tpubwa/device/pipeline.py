@@ -76,6 +76,8 @@ class DeviceAligner:
         self.didx = DeviceIndex.from_fmindex(fmi, device=self.device)
         self.extender = WaveExtender(opt, self.mat,
                                      use_pallas=use_pallas, fused=True)
+        from .extend_pallas import _mat_ab
+        self.mat_scmat = _mat_ab(self.mat) is not None
         self.read_len_cap = 256  # longer reads fall back to scalar path
         # Fixed seeding-chunk size: every device program in the seeding
         # stage sees operand shapes (chunk_reads, Lp) with chunk_reads
@@ -145,6 +147,16 @@ class DeviceAligner:
         """Host chaining + device extension waves + region post for one
         chunk; returns per-read region lists."""
         opt, fmi, mat = self.opt, self.fmi, self.mat
+        # descriptor-mode extension: tiles built on device from the
+        # resident chunk reads + pac (jobs ship as ~11 ints)
+        use_desc = self.mat_scmat
+        if use_desc:
+            pad = 32
+            while pad < len(chunk):
+                pad <<= 1
+            arr, _ = self._pack(chunk, pad)
+            qd = jnp.asarray(arr)
+            self.extender.set_chunk_ctx(self.didx, qd, chunk, fmi.bnt)
         all_regs: List[List[AlnReg]] = []
         plans_by_read = []
         for ri, read in enumerate(chunk):
@@ -163,7 +175,9 @@ class DeviceAligner:
             # extend in parallel waves
             plans_by_read.append([
                 extension_plan(opt, fmi.bnt, read.l_seq, read.seq, c,
-                               regs, fused=True) for c in chains])
+                               regs, fused=True,
+                               read_row=ri if use_desc else -1)
+                for c in chains])
         self.extender.run(_serialize_per_read(plans_by_read))
         out = []
         for read, regs in zip(chunk, all_regs):

@@ -86,7 +86,7 @@ def chain2aln(opt: MemOpt, bnt: BntSeq, l_query: int, query: np.ndarray,
 
 def extension_plan(opt: MemOpt, bnt: BntSeq, l_query: int,
                    query: np.ndarray, c: Chain, av: List[AlnReg],
-                   fused: bool = False):
+                   fused: bool = False, read_row: int = -1):
     """Generator form of mem_chain2aln: yields extension jobs
     (qlen, q, tlen, t, w, end_bonus, h0) and receives KswExt results;
     mutates av in place.  Both the scalar driver above and the batched
@@ -98,7 +98,13 @@ def extension_plan(opt: MemOpt, bnt: BntSeq, l_query: int,
     qR, tlenR, tR, w, h0, pen5, pen3) — and receives a packed int row
     (device/extend_fused.py layout); the band-doubling trial loops run
     inside the device program instead of as separate waves (one
-    host<->device round trip per seed instead of 2-4)."""
+    host<->device round trip per seed instead of 2-4).
+
+    read_row >= 0 (with fused): DESCRIPTOR mode — the query/reference
+    tiles are materialized ON DEVICE from the resident read array and
+    pac, so jobs ship as ~11 ints instead of ~1 KB of codes.  Yields
+    ('D', read_row, qbeg, slen, l_query, rbeg, rmax0, rmax1, w, h0,
+    pen5, pen3); same result row comes back."""
     if not c.seeds:
         return
     l_pac = bnt.l_pac
@@ -119,7 +125,14 @@ def extension_plan(opt: MemOpt, bnt: BntSeq, l_query: int,
             rmax1 = l_pac
         else:
             rmax0 = l_pac
-    rseq, rid, rmax0, rmax1 = bnt.fetch_seq(rmax0, c.seeds[0].rbeg, rmax1)
+    desc_mode = fused and read_row >= 0
+    if desc_mode:  # device extracts the window from the resident pac
+        rid, rmax0, rmax1 = bnt.fetch_bounds(rmax0, c.seeds[0].rbeg,
+                                             rmax1)
+        rseq = None
+    else:
+        rseq, rid, rmax0, rmax1 = bnt.fetch_seq(rmax0, c.seeds[0].rbeg,
+                                                rmax1)
     assert c.rid == rid
 
     # seeds by score ascending; iterate from the largest (ties: upstream
@@ -182,14 +195,22 @@ def extension_plan(opt: MemOpt, bnt: BntSeq, l_query: int,
             qe = s.qbeg + s.len
             re_off = s.rbeg + s.len - rmax0
             assert re_off >= 0
-            qs = query[:s.qbeg][::-1].copy() if s.qbeg else query[:0]
-            tlen_l = s.rbeg - rmax0 if s.qbeg else 0
-            rs = rseq[:tlen_l][::-1].copy() if s.qbeg else rseq[:0]
             qlen_r = l_query - qe
-            tlen_r = rmax1 - rmax0 - re_off if qlen_r else 0
-            res = yield (s.qbeg, qs, tlen_l, rs, qlen_r, query[qe:],
-                         tlen_r, rseq[re_off:], opt.w, s.len * opt.a,
-                         opt.pen_clip5, opt.pen_clip3)
+            if desc_mode:
+                res = yield ('D', read_row, s.qbeg, s.len, l_query,
+                             s.rbeg, rmax0, rmax1, opt.w,
+                             s.len * opt.a, opt.pen_clip5,
+                             opt.pen_clip3)
+            else:
+                qs = query[:s.qbeg][::-1].copy() if s.qbeg \
+                    else query[:0]
+                tlen_l = s.rbeg - rmax0 if s.qbeg else 0
+                rs = rseq[:tlen_l][::-1].copy() if s.qbeg else rseq[:0]
+                tlen_r = rmax1 - rmax0 - re_off if qlen_r else 0
+                res = yield (s.qbeg, qs, tlen_l, rs, qlen_r, query[qe:],
+                             tlen_r, rseq[re_off:], opt.w,
+                             s.len * opt.a, opt.pen_clip5,
+                             opt.pen_clip3)
             if s.qbeg:
                 a.score = int(res[0])
                 qle, tle, gtle, gscore = (int(res[1]), int(res[2]),

@@ -128,6 +128,24 @@ class BntSeq:
         return rid_b if rid_b == rid_e else -1
 
     # ---------------- sequence fetch (bntseq.c:~420) -------------------
+    def fetch_bounds(self, beg: int, mid: int, end: int
+                     ) -> Tuple[int, int, int]:
+        """bns_fetch_seq's clipping without materializing the codes:
+        (rid, beg', end') — used when the reference window is extracted
+        on DEVICE from the resident pac."""
+        if end < beg:
+            beg, end = end, beg
+        assert beg <= mid < end
+        fm, is_rev = self.depos(mid)
+        rid = self.pos2rid(fm)
+        a = self.anns[rid]
+        if is_rev:
+            lo = (self.l_pac << 1) - (a.offset + a.length)
+            hi = (self.l_pac << 1) - a.offset
+        else:
+            lo, hi = a.offset, a.offset + a.length
+        return rid, max(beg, lo), min(end, hi)
+
     def fetch_seq(self, beg: int, mid: int, end: int) -> Tuple[np.ndarray, int, int, int]:
         """bns_fetch_seq: fetch [beg,end) in doubled coords, clipped to the
         sequence containing ``mid``. Returns (codes, rid, beg', end')."""
