@@ -160,9 +160,17 @@ def extend_seed_desc(didx, qreads, desc, a, b, o_del, e_del, o_ins,
                    _ref_codes(didx, rbeg[:, None] - 1 - jT), 4)
     tR = jnp.where(jT < tlenR[:, None],
                    _ref_codes(didx, (rbeg + slen)[:, None] + jT), 4)
-    return _fused_passes(qL, tL, qR, tR, qlenL, tlenL, qlenR, tlenR,
-                         h0, w0, pen5, pen3, a, b, o_del, e_del, o_ins,
-                         e_ins, zdrop, tmax, interpret)
+    # internal kernel-chunking: one device dispatch (~30 ms of link
+    # overhead) covers several VMEM-sized Pallas launches
+    N = desc.shape[0]
+    outs = []
+    for off in range(0, N, CHUNK):
+        sl = slice(off, off + CHUNK)
+        outs.append(_fused_passes(
+            qL[sl], tL[sl], qR[sl], tR[sl], qlenL[sl], tlenL[sl],
+            qlenR[sl], tlenR[sl], h0[sl], w0[sl], pen5[sl], pen3[sl],
+            a, b, o_del, e_del, o_ins, e_ins, zdrop, tmax, interpret))
+    return jnp.concatenate(outs)
 
 
 def extend_seed_desc_np(didx, qd, jobs, mat, o_del, e_del, o_ins,
@@ -183,6 +191,8 @@ def extend_seed_desc_np(didx, qd, jobs, mat, o_del, e_del, o_ins,
                    da[:n, 6] - da[:n, 4] - da[:n, 2], 0)
     order = sorted(range(n), key=lambda i: -(int(tlL[i]) + int(tlR[i])))
     N = JOBS if n <= JOBS else ((n + CHUNK - 1) // CHUNK) * CHUNK
+    if N > CHUNK:  # round to the multi-chunk dispatch size
+        N = ((N + 4 * CHUNK - 1) // (4 * CHUNK)) * (4 * CHUNK)
     W = 128 if int(max(da[:n, 1].max(initial=0),
                        (da[:n, 3] - da[:n, 1] - da[:n, 2])
                        .max(initial=0))) < 128 else LANES
@@ -195,7 +205,7 @@ def extend_seed_desc_np(didx, qd, jobs, mat, o_del, e_del, o_ins,
     desc[:, 7] = 1   # w > 0
     for slot, i in enumerate(order):
         desc[slot] = da[i]
-    step = N if N <= JOBS else CHUNK
+    step = N if N <= JOBS else min(4 * CHUNK, N)
     futs = []
     for off in range(0, N, step):
         futs.append(extend_seed_desc(
