@@ -84,7 +84,7 @@ class DeviceAligner:
         # CONSTANT, so XLA compiles each program exactly once per
         # read-length bucket instead of once per batch size (compiles
         # are ~10 s each — they dominated wall time before this).
-        self.chunk_reads = 4096
+        self.chunk_reads = 8192
 
     # -------------------------------------------------------------
     def _pack(self, reads: Sequence[Read], pad_to: int):
