@@ -359,6 +359,14 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     lens_np = np.asarray(lens, np.int32)
     qd = jnp.asarray(np.ascontiguousarray(reads, dtype=np.uint8))
     ld = jnp.asarray(lens_np)
+    # round 3 is independent of rounds 1-2: dispatch it FIRST so its
+    # result is already on host by the time we sync on it (each
+    # blocking sync costs a ~40 ms link round trip)
+    scan_fut = None
+    if opt.max_mem_intv > 0:
+        scan_fut = _seed_strategy_scan(didx, qd, ld,
+                                       int(opt.min_seed_len),
+                                       int(opt.max_mem_intv))
     if use_cursor:
         r1, r2 = _rounds12_cursor(opt, didx, qd, ld, lens_np, reads,
                                   split_len, fmi)
@@ -376,10 +384,8 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     per_read: List[List[np.ndarray]] = [list(r1[ri]) for ri in range(B)]
     for ri, rows in r2:
         per_read[ri].extend(rows)
-    if opt.max_mem_intv > 0:
-        buf = np.asarray(_seed_strategy_scan(
-            didx, qd, ld,
-            int(opt.min_seed_len), int(opt.max_mem_intv)))
+    if scan_fut is not None:
+        buf = np.asarray(scan_fut)
         hits = buf[:-B].reshape(B, -1, 5)
         nh = buf[-B:]
         for ri in range(B):
