@@ -250,12 +250,19 @@ def _pad_pow2(n: int, lo: int = 256) -> int:
 
 
 def run_smem_jobs(didx: DeviceIndex, qd, ld, jobs, min_seed_len: int,
-                  P: int = 16, MAXM: int = 12, max_rounds: int = 512
+                  P: int = 0, MAXM: int = 12, max_rounds: int = 512
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """jobs: (read, x0, min_intv, one_shot) int arrays.  Pads the lane
     count to pow2 buckets; returns (mem [n, MAXM, 5], mem_n [n],
     overflow [n]) trimmed to the real lane count."""
     n = len(jobs[0])
+    if P == 0:
+        # stack depth ~ #distinct interval sizes along one extension
+        # path, which grows with log4(genome); overflow lanes fall back
+        # to the (much slower) scalar host path, so size generously.
+        # NOTE: keep P a multiple of 8 — a P=14 shape reproducibly
+        # faulted the TPU worker on this toolchain
+        P = 16 if didx.seq_len < (1 << 28) else 24
     npdt = didx.np_idt
     mpad = _pad_pow2(n)
     read = np.zeros(mpad, np.int32)
