@@ -161,3 +161,27 @@ def test_fastmap_output(genome_index):
     assert fields[1] == "0" and fields[2] == "100" and fields[3] == "1"
     assert fields[4] == "chr1:+1001"
     assert lines[-1] == "//"
+
+
+def test_se_batch_size_invariance(genome_index):
+    """SE output must be byte-identical regardless of -K chunking (the
+    documented PE pestat caveat does NOT apply to SE; SURVEY.md §3.2,
+    §4.5)."""
+    d, codes, prefix = genome_index
+    rng = np.random.default_rng(9)
+    reads = simulate_reads(codes, 60, 100, rng, snp_rate=0.02)
+    fq = str(d / "bsz.fq")
+    write_fastq(fq, reads)
+    base = run_mem(prefix, fq)[1]
+    for k in (700, 2300):
+        got = run_mem(prefix, fq, extra=["-K", str(k)])[1]
+        assert got == base, k
+
+
+def test_preset_changes_options(genome_index):
+    """-x intractg must change scoring (bwa fastmap.c preset table)."""
+    from tpubwa.opts import preset
+    p = preset("intractg")
+    assert p["b"] == 9 and p["o_del"] == 16
+    p2 = preset("pacbio")
+    assert p2["min_seed_len"] == 17

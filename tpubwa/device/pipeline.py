@@ -101,29 +101,40 @@ class DeviceAligner:
         return arr, lens
 
     def _sa_positions(self, per_read_intvs):
-        """Subsample ranks per bwa protocol, one batched device lookup."""
-        ranks = []
-        meta = []  # (read_i, intv_i, count)
-        for ri, rows in enumerate(per_read_intvs):
-            for ii, row in enumerate(rows):
-                x0, x1, size, qb, qe = (int(v) for v in row)
-                step = size // self.opt.max_occ \
-                    if size > self.opt.max_occ else 1
-                cnt = min((size + step - 1) // step, self.opt.max_occ)
-                ranks.extend(x0 + k * step for k in range(cnt))
-                meta.append((ri, ii, cnt))
-        if not ranks:
+        """Subsample ranks per bwa protocol (mem_chain head: step =
+        occ/max_occ, up to max_occ samples), one batched device
+        lookup.  Rank construction is vectorized across every interval
+        of the chunk."""
+        counts = [len(rows) for rows in per_read_intvs]
+        if sum(counts) == 0:
             return [[] for _ in per_read_intvs]
-        n = len(ranks)
+        flat = np.concatenate([rows for rows in per_read_intvs
+                               if len(rows)]).astype(np.int64)
+        x0 = flat[:, 0]
+        size = flat[:, 2]
+        step = np.where(size > self.opt.max_occ,
+                        size // self.opt.max_occ, 1)
+        cnt = np.minimum((size + step - 1) // step, self.opt.max_occ)
+        ends = np.cumsum(cnt)
+        n = int(ends[-1])
+        if n == 0:
+            return [[] for _ in per_read_intvs]
+        base = np.repeat(ends - cnt, cnt)
+        k = np.arange(n, dtype=np.int64) - base
+        ranks = np.repeat(x0, cnt) + k * np.repeat(step, cnt)
         m = _pad_pow2(n)
         arr = np.zeros(m, self.didx.np_idt)
         arr[:n] = ranks
         pos = np.asarray(sa_lookup(self.didx, jnp.asarray(arr)))[:n]
-        out = [[] for _ in per_read_intvs]
-        off = 0
-        for ri, ii, cnt in meta:
-            out[ri].append(pos[off:off + cnt])
-            off += cnt
+        out = []
+        ii = 0
+        for c in counts:
+            rows_pos = []
+            for _ in range(c):
+                lo = int(ends[ii] - cnt[ii])
+                rows_pos.append(pos[lo:int(ends[ii])])
+                ii += 1
+            out.append(rows_pos)
         return out
 
     # -------------------------------------------------------------
