@@ -80,3 +80,39 @@ def test_device_sam_identical_to_scalar(setup):
                 if not l.startswith("@PG")]
 
     assert run("cpu") == run("scalar")
+
+
+def test_device_pipeline_int64_path(monkeypatch):
+    """Human-scale indexes (seq_len >= 2^31) take the int64 rank path;
+    force it on a small genome and pin equality vs the scalar oracle
+    (the int32 fast path is what every other test exercises)."""
+    import numpy as np
+    import tpubwa.device.occ as occ
+    monkeypatch.setattr(occ, "_fits_i32", lambda n: False)
+    from tpubwa.device.pipeline import make_device_aligner
+    from tpubwa.host.pipeline import align1_core, process_seqs
+    from tpubwa.index import FMIndex
+    from tpubwa.index.build import BntSeq, SeqAnn
+    from tpubwa.io.fastq import Read
+    from tpubwa.opts import MemOpt
+
+    rng = np.random.default_rng(11)
+    n = 40000
+    codes = rng.integers(0, 4, n).astype(np.uint8)
+    bnt = BntSeq(l_pac=n, anns=[SeqAnn(name="c", anno="", offset=0,
+                                       length=n, n_ambs=0)],
+                 ambs=[], seed=11, codes=codes)
+    fmi = FMIndex.build(bnt)
+    opt = MemOpt()
+    reads = []
+    for i in range(24):
+        pos = int(rng.integers(0, n - 100))
+        r = codes[pos:pos + 100].copy()
+        mut = rng.random(100) < 0.02
+        r[mut] = (r[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        reads.append(Read(name=f"r{i}", seq=r, qual=None))
+    aligner = make_device_aligner(opt, fmi, platform="cpu")
+    assert aligner.didx.np_idt == np.int64
+    dev = process_seqs(opt, fmi, reads, 0, align_fn=aligner)
+    sc = process_seqs(opt, fmi, reads, 0, align_fn=None)
+    assert dev == sc
