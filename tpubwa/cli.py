@@ -213,7 +213,7 @@ def main_mem(argv, out=None) -> int:
         else:
             out = sys.stdout
     fmi = load_index(args.prefix)
-    from .host.pipeline import process_seqs, sam_header
+    from .host.pipeline import sam_header
 
     paired = args.mates is not None or args.smart_pairing
     if paired:

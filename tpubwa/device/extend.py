@@ -20,8 +20,6 @@ for every job, including tie-breaking and early-exit timing.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

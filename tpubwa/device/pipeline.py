@@ -15,7 +15,7 @@ marking, MAPQ, pairing, SAM — is shared code.
 from __future__ import annotations
 
 import logging
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -36,7 +36,7 @@ approximated (pinned by tests/test_smem_cursor.py).
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,17 +11,16 @@ from __future__ import annotations
 
 import logging
 import time
-from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 
 from ..index.fmindex import FMIndex
 from ..io.fastq import Read
-from ..opts import MEM_F_PE, MEM_F_NOPAIRING, MemOpt
-from .chain import Chain, chain_flt, flt_chained_seeds, mem_chain
+from ..opts import MEM_F_PE, MemOpt
+from .chain import chain_flt, flt_chained_seeds, mem_chain
 from .regions import AlnReg, chain2aln, mark_primary, sort_dedup_patch
-from .sam import MemAln, reg2sam
+from .sam import reg2sam
 
 log = logging.getLogger("tpubwa")
 

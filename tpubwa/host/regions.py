@@ -13,15 +13,15 @@ QuickAssist fork used (SURVEY.md §3.4).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import List
 
 import numpy as np
 
 from ..index.build import BntSeq
 from ..opts import MemOpt
 from ..ref.ksw import ksw_extend, ksw_global
-from .chain import Chain, Seed
+from .chain import Chain
 
 MAX_BAND_TRY = 2
 PATCH_MAX_R_BW = 0.05

@@ -4,7 +4,6 @@ bwamem_extra.c:mem_gen_alt; SURVEY.md §2 row 13)."""
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 

@@ -15,8 +15,7 @@ This module is pure host-side Python/NumPy (index build is offline).
 from __future__ import annotations
 
 import gzip
-import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Iterator, List, Tuple
 
 import numpy as np
