@@ -172,3 +172,25 @@ def test_shm_cache_roundtrip(tmp_path):
     assert main_shm(["-d", prefix]) == 0
     import os
     assert not os.path.isdir(prefix + ".tpubwa.shm")
+
+
+def test_alt_file_marks_contigs(tmp_path):
+    """<prefix>.alt marks ALT contigs at load (bwa.c idx load)."""
+    import numpy as np
+    from tpubwa.cli import load_index
+    from tpubwa.index import FMIndex
+    from tpubwa.index.build import BntSeq, SeqAnn
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, 4000).astype(np.uint8)
+    bnt = BntSeq(l_pac=4000,
+                 anns=[SeqAnn(name="chr1", anno="", offset=0,
+                              length=2000, n_ambs=0),
+                       SeqAnn(name="chr1_alt", anno="", offset=2000,
+                              length=2000, n_ambs=0)],
+                 ambs=[], seed=11, codes=codes)
+    fmi = FMIndex.build(bnt)
+    prefix = str(tmp_path / "ref.fa")
+    fmi.save(prefix)
+    (tmp_path / "ref.fa.alt").write_text("chr1_alt\t4\t*\t0\t0\t*\t*\t0\t0\n")
+    got = load_index(prefix)
+    assert [a.is_alt for a in got.bnt.anns] == [0, 1]

@@ -24,15 +24,34 @@ log = logging.getLogger("tpubwa")
 def load_index(prefix: str) -> FMIndex:
     """bwa_idx_load equivalent: prefer the shm cache (mmap, shared page
     cache across processes), then our npz, then stock bwa index files
-    (bwa.c:~260)."""
+    (bwa.c:~260).  A ``<prefix>.alt`` file (bwa.kit ALT-contig list,
+    SAM-ish lines whose first field is the contig name) marks anns as
+    ALT, exactly as bwa_idx_load_from_disk does."""
     import os
     if os.path.isdir(prefix + ".tpubwa.shm"):
-        return FMIndex.load_shm(prefix)
-    if os.path.exists(prefix + ".tpubwa.npz"):
-        return FMIndex.load(prefix)
-    if os.path.exists(prefix + ".bwt"):
-        return FMIndex.load_bwa(prefix)
-    raise FileNotFoundError(f"no index found at {prefix}[.tpubwa.npz|.bwt]")
+        fmi = FMIndex.load_shm(prefix)
+    elif os.path.exists(prefix + ".tpubwa.npz"):
+        fmi = FMIndex.load(prefix)
+    elif os.path.exists(prefix + ".bwt"):
+        fmi = FMIndex.load_bwa(prefix)
+    else:
+        raise FileNotFoundError(
+            f"no index found at {prefix}[.tpubwa.npz|.bwt]")
+    alt_path = prefix + ".alt"
+    if os.path.exists(alt_path):
+        names = set()
+        with open(alt_path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line and not line.startswith("@"):
+                    names.add(line.split("\t")[0].split()[0])
+        n_alt = 0
+        for a in fmi.bnt.anns:
+            if a.name in names:
+                a.is_alt = 1
+                n_alt += 1
+        log.info("[index] %d ALT contigs from %s", n_alt, alt_path)
+    return fmi
 
 
 def main_shm(argv) -> int:
