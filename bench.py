@@ -87,9 +87,7 @@ def kernel_gcups(log):
     return gcups
 
 
-def main():
-    def log(msg):
-        print(msg, file=sys.stderr, flush=True)
+def _attempt(log):
 
     t_all = time.time()
     from tpubwa.utils import enable_compilation_cache
@@ -137,12 +135,42 @@ def main():
     log(f"[bench] {n_reads} PE reads in {dt:.2f}s "
         f"({reads_per_s:.0f} reads/s), {n_lines} SAM records, "
         f"total wall {time.time() - t_all:.0f}s")
+    return reads_per_s
+
+
+def _emit(reads_per_s: float) -> None:
     print(json.dumps({
         "metric": "reads/sec/chip (100bp PE, synthetic 1Mb genome)",
         "value": round(reads_per_s, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 4),
-    }))
+    }), flush=True)
+
+
+def main():
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    if "--inner" in sys.argv:
+        _emit(_attempt(log))
+        return
+    # The tunneled TPU worker occasionally crashes mid-run, which can
+    # poison the in-process backend — run attempts in subprocesses and
+    # forward the first successful JSON line (retries reuse the
+    # persistent compile cache, so they are cheap).
+    import subprocess
+    for attempt in range(3):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            stdout=subprocess.PIPE, text=True)
+        out = r.stdout.strip().splitlines()
+        if r.returncode == 0 and out and out[-1].startswith("{"):
+            print(out[-1], flush=True)
+            return
+        log(f"[bench] attempt {attempt + 1} failed (rc={r.returncode})")
+        if attempt < 2:
+            time.sleep(120)
+    _emit(0.0)
 
 
 if __name__ == "__main__":
