@@ -111,3 +111,28 @@ def test_collect_intv_cursor_vs_scalar(setup):
         want = collect_intv(opt, fmi, reads[ri, :lens[ri]])
         want_rows = [(p.x0, p.x1, p.size, p.qb, p.qe) for p in want]
         assert [tuple(map(int, r)) for r in rows[ri]] == want_rows, ri
+
+
+def test_cursor_overflow_fallback(setup, monkeypatch):
+    """Tiny stack/emission caps force the overflow path; collect must
+    transparently redo those lanes on the host and still match the
+    scalar reference exactly."""
+    import tpubwa.device.smem as sm
+    import tpubwa.device.smem_cursor as scm
+    fmi, didx, codes = setup
+    opt = MemOpt()
+    rng = np.random.default_rng(9)
+    reads, lens = _reads(codes, rng, 24, amb=True)
+    orig = scm.run_smem_jobs
+
+    def tiny(*args, **kw):
+        kw["P"] = 8
+        kw["MAXM"] = 2
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(scm, "run_smem_jobs", tiny)
+    rows = sm.collect_intv_device(opt, didx, reads, lens, fmi=fmi)
+    for ri in range(len(lens)):
+        want = collect_intv(opt, fmi, reads[ri, :lens[ri]])
+        want_rows = [(p.x0, p.x1, p.size, p.qb, p.qe) for p in want]
+        assert [tuple(map(int, r)) for r in rows[ri]] == want_rows, ri
