@@ -136,3 +136,25 @@ def test_cursor_overflow_fallback(setup, monkeypatch):
         want = collect_intv(opt, fmi, reads[ri, :lens[ri]])
         want_rows = [(p.x0, p.x1, p.size, p.qb, p.qe) for p in want]
         assert [tuple(map(int, r)) for r in rows[ri]] == want_rows, ri
+
+
+def test_cursor_edge_reads(setup):
+    """Degenerate lanes: shorter than min_seed_len, all-N, N at the
+    cursor start, exact read-length matches."""
+    fmi, didx, codes = setup
+    opt = MemOpt()
+    L = 128
+    rows = [
+        np.concatenate([codes[100:110], np.full(L - 10, 4, np.uint8)]),
+        np.full(L, 4, np.uint8),                       # all N
+        np.concatenate([[4, 4], codes[200:300],
+                        np.full(L - 102, 4, np.uint8)]),
+        np.concatenate([codes[500:628]]),              # full-length
+    ]
+    lens = np.asarray([10, 60, 102, 128], np.int32)
+    reads = np.stack(rows)
+    got = collect_intv_device(opt, didx, reads, lens, fmi=fmi)
+    for ri in range(len(lens)):
+        want = collect_intv(opt, fmi, reads[ri, :lens[ri]])
+        want_rows = [(p.x0, p.x1, p.size, p.qb, p.qe) for p in want]
+        assert [tuple(map(int, r)) for r in got[ri]] == want_rows, ri
