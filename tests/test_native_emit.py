@@ -1,0 +1,112 @@
+"""bwacore.cpp emit phase vs the Python reference: byte equality of
+the emitted SAM for SE and PE batches covering pairing, mate rescue,
+unmapped ends, repeats/XA, split reads, quals, RG and comments."""
+import copy
+
+import numpy as np
+import pytest
+
+from tpubwa.host.native_emit import emit_batch_native, _lib
+from tpubwa.host.pipeline import align_phase, emit_phase
+from tpubwa.index import FMIndex
+from tpubwa.index.build import BntSeq, SeqAnn
+from tpubwa.io.fastq import Read
+from tpubwa.opts import MEM_F_PE, MemOpt
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if _lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(31)
+    n = 60000
+    codes = rng.integers(0, 4, n).astype(np.uint8)
+    codes[30000:31500] = codes[5000:6500]   # repeats -> XA/secondary
+    codes[45000:45400] = codes[5100:5500]
+    bnt = BntSeq(l_pac=n,
+                 anns=[SeqAnn(name="cA", anno="", offset=0,
+                              length=35000, n_ambs=0),
+                       SeqAnn(name="cB", anno="", offset=35000,
+                              length=25000, n_ambs=0)],
+                 ambs=[], seed=11, codes=codes)
+    return FMIndex.build(bnt), codes, np.random.default_rng(7)
+
+
+def _pairs(codes, rng, n_pairs, corrupt_every=0):
+    reads = []
+    L = len(codes)
+    for i in range(n_pairs):
+        isize = max(int(rng.normal(320, 40)), 220)
+        pos = int(rng.integers(0, L - isize - 2))
+        r1 = codes[pos:pos + 100].copy()
+        r2 = (3 - codes[pos + isize - 100:pos + isize])[::-1].copy()
+        for r in (r1, r2):
+            mut = rng.random(100) < 0.03
+            r[mut] = (r[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        if corrupt_every and i % corrupt_every == 0:
+            r2[:] = rng.integers(0, 4, 100)  # unmappable mate
+        qual = "".join(chr(33 + int(q))
+                       for q in rng.integers(20, 40, 100))
+        reads.append(Read(name=f"p{i}", seq=r1, qual=qual,
+                          comment="BC:Z:ACGT" if i % 3 == 0 else ""))
+        reads.append(Read(name=f"p{i}", seq=r2, qual=qual))
+    return reads
+
+
+def _compare(opt, fmi, reads, n_processed, rg_id, pes0=None):
+    mat = opt.scoring_matrix()
+    all_regs = align_phase(opt, fmi, reads, mat)
+    regs_native = copy.deepcopy(all_regs)
+    if opt.flag & MEM_F_PE:
+        from tpubwa.host.pair import pestat
+        pes = pes0 or pestat(opt, fmi.bnt.l_pac, all_regs)
+    else:
+        pes = None
+    want = emit_phase(opt, fmi, reads, all_regs, n_processed, mat,
+                      rg_id, pes0=pes)
+    got = emit_batch_native(opt, fmi, reads, regs_native, n_processed,
+                            rg_id, pes)
+    assert got is not None
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert a == b, (a, b)
+
+
+def test_pe_equality(setup):
+    fmi, codes, rng = setup
+    opt = MemOpt(flag=MEM_F_PE)
+    reads = _pairs(codes, rng, 60, corrupt_every=9)
+    _compare(opt, fmi, reads, 1234, "grp1")
+
+
+def test_pe_split_and_chimeric(setup):
+    fmi, codes, rng = setup
+    opt = MemOpt(flag=MEM_F_PE)
+    reads = []
+    for i in range(16):
+        p1 = int(rng.integers(0, 20000))
+        p2 = int(rng.integers(36000, 55000))
+        chim = np.concatenate([codes[p1:p1 + 55],
+                               codes[p2:p2 + 45]]).copy()
+        mate = (3 - codes[p1 + 200:p1 + 300])[::-1].copy()
+        reads.append(Read(name=f"c{i}", seq=chim, qual=None))
+        reads.append(Read(name=f"c{i}", seq=mate, qual=None))
+    _compare(opt, fmi, reads, 0, "")
+
+
+def test_se_equality(setup):
+    fmi, codes, rng = setup
+    opt = MemOpt()
+    reads = []
+    for i in range(80):
+        pos = int(rng.integers(0, len(codes) - 100))
+        r = codes[pos:pos + 100].copy()
+        mut = rng.random(100) < 0.04
+        r[mut] = (r[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        if i % 11 == 0:
+            r[:] = rng.integers(0, 4, 100)  # unmapped
+        if i % 7 == 0:  # split read across contigs
+            p2 = int(rng.integers(36000, 55000))
+            r = np.concatenate([r[:50], codes[p2:p2 + 50]]).copy()
+        reads.append(Read(name=f"s{i}", seq=r, qual=None))
+    _compare(opt, fmi, reads, 777, "")

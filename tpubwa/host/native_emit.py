@@ -1,0 +1,156 @@
+"""Native emit phase bridge: flat-array marshaling for
+native/bwacore.cpp (the C++ port of mark_primary/reg2sam/sam_pe).
+
+The Python implementations in regions.py/sam.py/pair.py remain the
+bit-exactness reference; byte equality of the emitted SAM is pinned by
+tests/test_native_emit.py.  Any failure here (toolchain missing, flag
+we have not modeled) falls back to the Python path silently.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..opts import MEM_F_PE, MemOpt
+
+_LIB = None
+
+# AlnReg int fields, in the order bwacore.cpp expects (NF = 18)
+_REG_FIELDS = ("rb", "re", "qb", "qe", "rid", "score", "truesc", "sub",
+               "alt_sc", "csub", "sub_n", "w", "seedcov", "secondary",
+               "secondary_all", "seedlen0", "n_comp", "is_alt")
+
+
+def _lib():
+    global _LIB
+    if _LIB is not None:
+        return _LIB or None
+    if os.environ.get("TPUBWA_NO_NATIVE") \
+            or os.environ.get("TPUBWA_NO_NATIVE_EMIT"):
+        _LIB = False
+        return None
+    try:
+        from ..native import load_bwacore
+        _LIB = load_bwacore()
+    except Exception:  # pragma: no cover - toolchain missing
+        _LIB = False
+    return _LIB or None
+
+
+def _blob(items):
+    """list of bytes -> (blob, offsets int64[n+1])."""
+    off = np.zeros(len(items) + 1, np.int64)
+    for i, b in enumerate(items):
+        off[i + 1] = off[i] + len(b)
+    return b"".join(items), off
+
+
+class _BntCache:
+    """Per-BntSeq flattened metadata (built once per process)."""
+
+    def __init__(self, bnt):
+        self.codes = np.ascontiguousarray(bnt.codes, dtype=np.uint8)
+        n = len(bnt.anns)
+        self.ann_off = np.asarray([a.offset for a in bnt.anns], np.int64)
+        self.ann_len = np.asarray([a.length for a in bnt.anns], np.int64)
+        self.ann_alt = np.asarray(
+            [1 if a.is_alt else 0 for a in bnt.anns], np.uint8)
+        self.name_blob, self.name_off = _blob(
+            [a.name.encode() for a in bnt.anns])
+        self.n = n
+
+
+def _bnt_cache(bnt) -> _BntCache:
+    c = getattr(bnt, "_native_cache", None)
+    if c is None:
+        c = _BntCache(bnt)
+        bnt._native_cache = c
+    return c
+
+
+def emit_batch_native(opt: MemOpt, fmi, reads: Sequence,
+                      all_regs, n_processed: int, rg_id: str,
+                      pes) -> Optional[List[str]]:
+    """Returns SAM lines, or None if the native path is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    bnt = fmi.bnt
+    bc = _bnt_cache(bnt)
+    iv = np.asarray([
+        opt.a, opt.b, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+        opt.w, opt.T, opt.flag, opt.min_seed_len, opt.max_matesw,
+        opt.max_XA_hits, opt.max_XA_hits_alt, opt.pen_unpaired,
+        int(opt.mapQ_coef_len), 1 if (opt.flag & MEM_F_PE) else 0,
+        n_processed], np.int64)
+    dv = np.asarray([opt.mapQ_coef_fac, opt.drop_ratio,
+                     opt.XA_drop_ratio, opt.mask_level], np.float64)
+    mat = np.ascontiguousarray(opt.scoring_matrix(), np.int32)
+
+    rname_blob, rname_off = _blob([r.name.encode() for r in reads])
+    seq_blob, seq_off = _blob(
+        [np.ascontiguousarray(r.seq, np.uint8).tobytes() for r in reads])
+    qual_blob, qual_off = _blob(
+        [(r.qual or "").encode() for r in reads])
+    comm_blob, comm_off = _blob(
+        [(getattr(r, "comment", "") or "").encode() for r in reads])
+
+    reg_cnt = np.asarray([len(rs) for rs in all_regs], np.int32)
+    tot = int(reg_cnt.sum())
+    reg_iv = np.zeros((max(tot, 1), len(_REG_FIELDS)), np.int64)
+    reg_fr = np.zeros(max(tot, 1), np.float64)
+    k = 0
+    for rs in all_regs:
+        for r in rs:
+            for f, name in enumerate(_REG_FIELDS):
+                reg_iv[k, f] = getattr(r, name)
+            reg_fr[k] = r.frac_rep
+            k += 1
+
+    pes_iv = np.zeros(12, np.int64)
+    pes_dv = np.zeros(8, np.float64)
+    if pes is not None:
+        for d in range(4):
+            pes_iv[d * 3] = pes[d].failed
+            pes_iv[d * 3 + 1] = pes[d].low
+            pes_iv[d * 3 + 2] = pes[d].high
+            pes_dv[d * 2] = pes[d].avg
+            pes_dv[d * 2 + 1] = pes[d].std
+    else:
+        pes_iv[0::3] = 1  # all directions failed (SE)
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    dp = ctypes.POINTER(ctypes.c_double)
+
+    def P(a, t):
+        return a.ctypes.data_as(t)
+
+    cap = len(reads) * 1024 + (1 << 16)
+    for _ in range(3):
+        out = ctypes.create_string_buffer(cap)
+        n = lib.tpubwa_emit_batch(
+            P(iv, i64p), P(dv, dp), P(mat, i32p),
+            P(bc.codes, u8p), ctypes.c_int64(bnt.l_pac),
+            ctypes.c_int32(bc.n), P(bc.ann_off, i64p),
+            P(bc.ann_len, i64p), P(bc.ann_alt, u8p),
+            ctypes.c_char_p(bc.name_blob), P(bc.name_off, i64p),
+            ctypes.c_int64(len(reads)), ctypes.c_char_p(rname_blob),
+            P(rname_off, i64p),
+            ctypes.c_char_p(seq_blob), P(seq_off, i64p),
+            ctypes.c_char_p(qual_blob), P(qual_off, i64p),
+            ctypes.c_char_p(comm_blob), P(comm_off, i64p),
+            P(reg_cnt, i32p), P(reg_iv, i64p), P(reg_fr, dp),
+            P(pes_iv, i64p), P(pes_dv, dp),
+            ctypes.c_char_p(rg_id.encode()),
+            out, ctypes.c_int64(cap))
+        if n >= 0:
+            text = out.raw[:n].decode()
+            return text.split("\n")[:-1] if text else []
+        cap = -n + 4096
+    return None

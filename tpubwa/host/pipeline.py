@@ -66,12 +66,25 @@ def align_phase(opt: MemOpt, fmi: FMIndex, reads: Sequence[Read],
 def emit_phase(opt: MemOpt, fmi: FMIndex, reads: Sequence[Read],
                all_regs, n_processed: int, mat: np.ndarray,
                rg_id: str = "", pes0=None) -> List[str]:
-    """worker2: regions -> SAM lines (pairing, MAPQ, text)."""
-    out: List[str] = []
+    """worker2: regions -> SAM lines (pairing, MAPQ, text).
+
+    Runs the native (C++) port when available — byte-identical output
+    (tests/test_native_emit.py), ~50x less interpreter time on the
+    single host core; TPUBWA_NO_NATIVE_EMIT=1 forces the Python path."""
+    pes = None
     if opt.flag & MEM_F_PE:
-        from .pair import sam_pe, pestat
+        from .pair import pestat
         pes = pes0 if pes0 is not None else \
             pestat(opt, fmi.bnt.l_pac, all_regs)
+    from .native_emit import emit_batch_native
+    if reads:
+        native = emit_batch_native(opt, fmi, reads, all_regs,
+                                   n_processed, rg_id, pes)
+        if native is not None:
+            return native
+    out: List[str] = []
+    if opt.flag & MEM_F_PE:
+        from .pair import sam_pe
         for i in range(0, len(reads), 2):
             pair_id = (n_processed >> 1) + (i >> 1)
             out.extend(sam_pe(opt, fmi, pes, pair_id,

@@ -21,9 +21,11 @@ _CACHE = Path(os.environ.get("TPUBWA_NATIVE_CACHE",
                              Path.home() / ".cache" / "tpubwa"))
 
 
-def _build(src_name: str, tag: str) -> Path:
+def _build(src_name: str, tag: str, deps=()) -> Path:
     src = _DIR / src_name
     code = src.read_bytes()
+    for d in deps:  # #included sources must invalidate the cache too
+        code += (_DIR / d).read_bytes()
     h = hashlib.sha256(code).hexdigest()[:16]
     _CACHE.mkdir(parents=True, exist_ok=True)
     so = _CACHE / f"{tag}-{h}.so"
@@ -96,3 +98,17 @@ def load_ksw():
             i32, i32p]
         _ksw_lib = lib
     return _ksw_lib
+
+
+_bwacore_lib = None
+
+
+def load_bwacore():
+    """ctypes handle to the native emit phase (bwacore.cpp)."""
+    global _bwacore_lib
+    if _bwacore_lib is None:
+        lib = ctypes.CDLL(str(_build("bwacore.cpp", "bwacore",
+                                     deps=("ksw.cpp",))))
+        lib.tpubwa_emit_batch.restype = ctypes.c_int64
+        _bwacore_lib = lib
+    return _bwacore_lib
