@@ -27,7 +27,6 @@ from ..host.regions import AlnReg, extension_plan, sort_dedup_patch
 from ..index.fmindex import FMIndex
 from ..io.fastq import Read
 from ..opts import MemOpt
-from ..ref.smem import BwtIntv
 from .dispatch import WaveExtender
 from .occ import DeviceIndex, sa_lookup
 from .smem import collect_intv_device, _pad_pow2
@@ -171,10 +170,7 @@ class DeviceAligner:
         all_regs: List[List[AlnReg]] = []
         plans_by_read = []
         for ri, read in enumerate(chunk):
-            intvs = [BwtIntv(int(r[0]), int(r[1]), int(r[2]),
-                             int(r[3]), int(r[4]))
-                     for r in intv_rows[ri]]
-            chains = mem_chain(opt, fmi, read.seq, intvs=intvs,
+            chains = mem_chain(opt, fmi, read.seq, intvs=intv_rows[ri],
                                positions=positions[ri])
             chains = chain_flt(opt, chains)
             flt_chained_seeds(opt, fmi.bnt, read.l_seq, read.seq,

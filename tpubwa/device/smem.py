@@ -270,24 +270,39 @@ def _rounds12_cursor(opt, didx, qd, ld, lens_np, reads, split_len, fmi):
         didx, qd, ld,
         (np.arange(B, dtype=np.int32), np.zeros(B, np.int32),
          np.ones(B, npdt), np.zeros(B, bool)), opt.min_seed_len)
+    # vectorized post: one global mask + sort instead of a Python loop
+    # per read (the whole chunk's rows sort in one lexsort; overflow
+    # lanes are rare and redone scalar)
+    MAXM = mem.shape[1]
+    valid = (np.arange(MAXM)[None, :] < mem_n[:, None]) & ~ovf[:, None]
+    rid_of = np.repeat(np.arange(B), MAXM).reshape(B, MAXM)
+    vm = valid.reshape(-1)
+    flat = mem.reshape(-1, 5)[vm].astype(np.int64)
+    frid = rid_of.reshape(-1)[vm]
+    order = np.lexsort((flat[:, 4], flat[:, 3], frid))
+    flat = flat[order]
+    frid = frid[order]
+    counts = np.bincount(frid, minlength=B)
+    splits = np.cumsum(counts)[:-1]
+    per = np.split(flat, splits)
     r1: List[np.ndarray] = []
-    scalar_reads = set()
     for ri in range(B):
         if ovf[ri]:
-            scalar_reads.add(ri)
             r1.append(_scalar_round1(opt, fmi, reads[ri],
                                      int(lens_np[ri])))
         else:
-            rows = mem[ri, :int(mem_n[ri])].astype(np.int64)
-            order = np.lexsort((rows[:, 4], rows[:, 3]))
-            r1.append(rows[order])
-    jobs = []
-    for ri in range(B):
+            r1.append(per[ri])
+    # round-2 job selection, vectorized over the sorted flat rows
+    jsel = ((flat[:, 4] - flat[:, 3] >= split_len)
+            & (flat[:, 2] <= opt.split_width))
+    jobs = [(int(frid[i]), int((flat[i, 3] + flat[i, 4]) >> 1),
+             int(flat[i, 2]) + 1) for i in np.flatnonzero(jsel)]
+    for ri in np.flatnonzero(ovf):
         for row in r1[ri]:
             x0, x1, size, qb, qe = (int(v) for v in row)
             if qe - qb < split_len or size > opt.split_width:
                 continue
-            jobs.append((ri, (qb + qe) >> 1, size + 1))
+            jobs.append((int(ri), (qb + qe) >> 1, size + 1))
     r2 = []
     if jobs:
         ja = np.asarray(jobs, np.int64)
@@ -381,21 +396,35 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                     continue
                 jobs.append((ri, (qb + qe) >> 1, size + 1))
         r2 = smems_reseed(didx, qd, ld, jobs, opt.min_seed_len)
-    per_read: List[List[np.ndarray]] = [list(r1[ri]) for ri in range(B)]
+    # global merge: concatenate (rid, row) blocks from all three
+    # rounds, ONE lexsort by (rid, qb, qe), split per read
+    blocks = []
+    rids = []
+    for ri in range(B):
+        if len(r1[ri]):
+            blocks.append(np.asarray(r1[ri], np.int64))
+            rids.append(np.full(len(r1[ri]), ri, np.int64))
     for ri, rows in r2:
-        per_read[ri].extend(rows)
+        if len(rows):
+            blocks.append(np.asarray(rows, np.int64))
+            rids.append(np.full(len(rows), ri, np.int64))
     if scan_fut is not None:
         buf = np.asarray(scan_fut)
         hits = buf[:-B].reshape(B, -1, 5)
         nh = buf[-B:]
-        for ri in range(B):
-            per_read[ri].extend(hits[ri, :int(nh[ri])])
-    out = []
-    for ri in range(B):
-        if per_read[ri]:
-            arr = np.stack([np.asarray(r, np.int64) for r in per_read[ri]])
-            order = np.lexsort((arr[:, 4], arr[:, 3]))
-            out.append(arr[order])
-        else:
-            out.append(np.zeros((0, 5), np.int64))
-    return out
+        MAXH = hits.shape[1]
+        hv = np.arange(MAXH)[None, :] < nh[:, None]
+        if hv.any():
+            blocks.append(hits.reshape(-1, 5)[hv.reshape(-1)]
+                          .astype(np.int64))
+            rids.append(np.repeat(np.arange(B), MAXH)[hv.reshape(-1)]
+                        .astype(np.int64))
+    if not blocks:
+        return [np.zeros((0, 5), np.int64) for _ in range(B)]
+    flat = np.concatenate(blocks)
+    frid = np.concatenate(rids)
+    order = np.lexsort((flat[:, 4], flat[:, 3], frid))
+    flat = flat[order]
+    frid = frid[order]
+    counts = np.bincount(frid, minlength=B)
+    return np.split(flat, np.cumsum(counts)[:-1])

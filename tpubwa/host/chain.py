@@ -105,6 +105,10 @@ def mem_chain(opt: MemOpt, fmi: FMIndex, q: np.ndarray,
     l_pac = fmi.bnt.l_pac
     if intvs is None:
         intvs = collect_intv(opt, fmi, q)
+    elif isinstance(intvs, np.ndarray):
+        # device pipeline fast path: raw [n, 5] rows, no dataclasses
+        intvs = [BwtIntv(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
+                         int(r[4])) for r in intvs]
 
     # frac_rep: fraction of the query covered by over-repetitive SMEMs
     l_rep = 0
