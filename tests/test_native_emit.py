@@ -110,3 +110,51 @@ def test_se_equality(setup):
             r = np.concatenate([r[:50], codes[p2:p2 + 50]]).copy()
         reads.append(Read(name=f"s{i}", seq=r, qual=None))
     _compare(opt, fmi, reads, 777, "")
+
+
+def test_chain_batch_equality(setup):
+    """Native chain stage vs Python mem_chain/chain_flt/
+    flt_chained_seeds: identical chain order, seeds and frac_rep."""
+    from tpubwa.host.chain import chain_flt, flt_chained_seeds, mem_chain
+    from tpubwa.host.native_emit import chain_batch_native
+    from tpubwa.device.pipeline import DeviceAligner
+    from tpubwa.ref.smem import collect_intv, sa_positions
+    fmi, codes, rng = setup
+    opt = MemOpt()
+    mat = opt.scoring_matrix()
+    reads = []
+    for i in range(40):
+        pos = int(rng.integers(0, len(codes) - 100))
+        r = codes[pos:pos + 100].copy()
+        mut = rng.random(100) < 0.03
+        r[mut] = (r[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        reads.append(Read(name=f"q{i}", seq=r, qual=None))
+    intv_rows = []
+    positions = []
+    for r in reads:
+        ivs = collect_intv(opt, fmi, r.seq)
+        intv_rows.append(np.asarray(
+            [(p.x0, p.x1, p.size, p.qb, p.qe) for p in ivs],
+            np.int64).reshape(-1, 5))
+        positions.append([
+            np.asarray([rb for rb, _ in sa_positions(fmi, p,
+                                                     opt.max_occ)],
+                       np.int64) for p in ivs])
+    got = chain_batch_native(opt, fmi, reads, intv_rows, positions)
+    assert got is not None
+    for ri, r in enumerate(reads):
+        ivs = [  # rebuild BwtIntv objects for the python path
+            __import__("tpubwa.ref.smem", fromlist=["BwtIntv"]).BwtIntv(
+                int(x[0]), int(x[1]), int(x[2]), int(x[3]), int(x[4]))
+            for x in intv_rows[ri]]
+        want = mem_chain(opt, fmi, r.seq, intvs=ivs,
+                         positions=positions[ri])
+        want = chain_flt(opt, want)
+        flt_chained_seeds(opt, fmi.bnt, r.l_seq, r.seq, want, mat)
+        assert len(got[ri]) == len(want), ri
+        for cg, cw in zip(got[ri], want):
+            assert cg.rid == cw.rid and cg.is_alt == cw.is_alt
+            assert abs(cg.frac_rep - cw.frac_rep) < 1e-12
+            assert [(s.rbeg, s.qbeg, s.len, s.score)
+                    for s in cg.seeds] == \
+                   [(s.rbeg, s.qbeg, s.len, s.score) for s in cw.seeds]

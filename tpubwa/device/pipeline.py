@@ -167,14 +167,23 @@ class DeviceAligner:
             arr, _ = self._pack(chunk, pad)
             qd = jnp.asarray(arr)
             self.extender.set_chunk_ctx(self.didx, qd, chunk, fmi.bnt)
+        # chain stage: native C++ when available (byte-equal; see
+        # tests/test_native_emit.py::test_chain_batch_equality)
+        from ..host.native_emit import chain_batch_native
+        chains_per_read = chain_batch_native(opt, fmi, chunk, intv_rows,
+                                             positions)
         all_regs: List[List[AlnReg]] = []
         plans_by_read = []
         for ri, read in enumerate(chunk):
-            chains = mem_chain(opt, fmi, read.seq, intvs=intv_rows[ri],
-                               positions=positions[ri])
-            chains = chain_flt(opt, chains)
-            flt_chained_seeds(opt, fmi.bnt, read.l_seq, read.seq,
-                              chains, mat)
+            if chains_per_read is not None:
+                chains = chains_per_read[ri]
+            else:
+                chains = mem_chain(opt, fmi, read.seq,
+                                   intvs=intv_rows[ri],
+                                   positions=positions[ri])
+                chains = chain_flt(opt, chains)
+                flt_chained_seeds(opt, fmi.bnt, read.l_seq, read.seq,
+                                  chains, mat)
             regs: List[AlnReg] = []
             all_regs.append(regs)
             # chains of one read share `regs` and must extend in order

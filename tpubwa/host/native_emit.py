@@ -154,3 +154,91 @@ def emit_batch_native(opt: MemOpt, fmi, reads: Sequence,
             return text.split("\n")[:-1] if text else []
         cap = -n + 4096
     return None
+
+
+def chain_batch_native(opt: MemOpt, fmi, reads: Sequence, intv_rows,
+                       positions) -> Optional[List[list]]:
+    """Native mem_chain + chain_flt + flt_chained_seeds for a chunk.
+    Returns per-read lists of host Chain objects (few per read), or
+    None when the native path is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    from .chain import Chain, Seed
+    bnt = fmi.bnt
+    bc = _bnt_cache(bnt)
+    civ = np.asarray([
+        opt.a, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, opt.w,
+        opt.max_chain_gap, opt.min_seed_len, opt.min_chain_weight,
+        opt.max_chain_extend, opt.max_occ], np.int64)
+    cdv = np.asarray([opt.mask_level, opt.drop_ratio], np.float64)
+    mat = np.ascontiguousarray(opt.scoring_matrix(), np.int32)
+    seq_blob, seq_off = _blob(
+        [np.ascontiguousarray(r.seq, np.uint8).tobytes() for r in reads])
+    n_intv = sum(len(rows) for rows in intv_rows)
+    intv = np.zeros((max(n_intv, 1), 5), np.int64)
+    intv_off = np.zeros(len(reads) + 1, np.int64)
+    pos_chunks = []
+    pos_off = [0]
+    k = 0
+    for ri, rows in enumerate(intv_rows):
+        if len(rows):
+            intv[k:k + len(rows)] = rows
+        for ii in range(len(rows)):
+            p = positions[ri][ii]
+            pos_chunks.append(np.ascontiguousarray(p, np.int64))
+            pos_off.append(pos_off[-1] + len(p))
+        k += len(rows)
+        intv_off[ri + 1] = k
+    pos = np.concatenate(pos_chunks) if pos_chunks \
+        else np.zeros(1, np.int64)
+    pos_off = np.asarray(pos_off, np.int64)
+    n_pos = int(pos_off[-1])
+    mc = max(n_pos + 8, 64)
+    ms = max(n_pos + 8, 64)
+    chain_cnt = np.zeros(len(reads), np.int32)
+    chain_meta = np.zeros((mc, 3), np.int64)
+    chain_fr = np.zeros(mc, np.float64)
+    seeds = np.zeros((ms, 4), np.int64)
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    dp = ctypes.POINTER(ctypes.c_double)
+
+    def P(a, t):
+        return a.ctypes.data_as(t)
+
+    rc = lib.tpubwa_chain_batch(
+        P(civ, i64p), P(cdv, dp), P(mat, i32p),
+        P(bc.codes, u8p), ctypes.c_int64(bnt.l_pac),
+        ctypes.c_int32(bc.n), P(bc.ann_off, i64p), P(bc.ann_len, i64p),
+        P(bc.ann_alt, u8p), ctypes.c_char_p(bc.name_blob),
+        P(bc.name_off, i64p),
+        ctypes.c_int64(len(reads)), ctypes.c_char_p(seq_blob),
+        P(seq_off, i64p),
+        P(intv, i64p), P(intv_off, i64p), P(pos, i64p),
+        P(pos_off, i64p),
+        P(chain_cnt, i32p), P(chain_meta, i64p), P(chain_fr, dp),
+        ctypes.c_int64(mc), P(seeds, i64p), ctypes.c_int64(ms))
+    if rc != 0:
+        return None
+    out = []
+    ci = 0
+    si = 0
+    for ri in range(len(reads)):
+        chains = []
+        for _ in range(int(chain_cnt[ri])):
+            rid, is_alt, n_seeds = (int(x) for x in chain_meta[ci])
+            ss = [Seed(rbeg=int(seeds[si + j, 0]),
+                       qbeg=int(seeds[si + j, 1]),
+                       len=int(seeds[si + j, 2]),
+                       score=int(seeds[si + j, 3]))
+                  for j in range(n_seeds)]
+            si += n_seeds
+            c = Chain(rid=rid, pos=ss[0].rbeg if ss else 0, seeds=ss,
+                      is_alt=is_alt, frac_rep=float(chain_fr[ci]))
+            ci += 1
+            chains.append(c)
+        out.append(chains)
+    return out

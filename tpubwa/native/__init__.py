@@ -110,5 +110,6 @@ def load_bwacore():
         lib = ctypes.CDLL(str(_build("bwacore.cpp", "bwacore",
                                      deps=("ksw.cpp",))))
         lib.tpubwa_emit_batch.restype = ctypes.c_int64
+        lib.tpubwa_chain_batch.restype = ctypes.c_int
         _bwacore_lib = lib
     return _bwacore_lib

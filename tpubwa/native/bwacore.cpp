@@ -1119,3 +1119,302 @@ i64 tpubwa_emit_batch(
 }
 
 }  // extern "C"
+
+// ---- seed chaining (bwamem.c:mem_chain/~330, mem_chain_flt/~470,
+// mem_flt_chained_seeds/~640; port of host/chain.py) -------------------
+namespace {
+
+struct Seed { i64 rbeg, qbeg, len, score; };
+struct Chain {
+    int rid;
+    i64 pos;
+    std::vector<Seed> seeds;
+    int is_alt = 0;
+    i64 w = 0;
+    int kept = 0;
+    i64 first = -1;
+    double frac_rep = 0.0;
+    i64 qbeg() const { return seeds.front().qbeg; }
+    i64 qend() const {
+        const Seed& s = seeds.back();
+        return s.qbeg + s.len;
+    }
+};
+
+struct ChainOpt {
+    i64 a, o_del, e_del, o_ins, e_ins, w, max_chain_gap, min_seed_len,
+        min_chain_weight, max_chain_extend, max_occ;
+    double mask_level, drop_ratio;
+    const int32_t* mat;
+};
+
+int intv2rid(const Bnt& bnt, i64 rb, i64 re) {
+    if (rb < bnt.l_pac && re > bnt.l_pac) return -2;
+    i64 fb, fe; int rev;
+    bnt.depos(rb < bnt.l_pac ? rb : re - 1, &fb, &rev);
+    bnt.depos(rb < bnt.l_pac ? re - 1 : rb, &fe, &rev);
+    if (fb > fe) std::swap(fb, fe);
+    int rid_b = bnt.pos2rid(fb);
+    int rid_e = bnt.pos2rid(fe);
+    return rid_b == rid_e ? rid_b : -1;
+}
+
+bool test_and_merge(const ChainOpt& o, i64 l_pac, Chain& c,
+                    const Seed& p, int seed_rid) {
+    const Seed& last = c.seeds.back();
+    const Seed& first = c.seeds.front();
+    i64 qend = last.qbeg + last.len;
+    i64 rend = last.rbeg + last.len;
+    if (seed_rid != c.rid) return false;
+    if (p.qbeg >= first.qbeg && p.qbeg + p.len <= qend
+            && p.rbeg >= first.rbeg && p.rbeg + p.len <= rend)
+        return true;  // contained
+    if ((last.rbeg < l_pac || first.rbeg < l_pac) && p.rbeg >= l_pac)
+        return false;
+    i64 x = p.qbeg - last.qbeg;
+    i64 y = p.rbeg - last.rbeg;
+    if (y >= 0 && x - y <= o.w && y - x <= o.w
+            && x - last.len < o.max_chain_gap
+            && y - last.len < o.max_chain_gap) {
+        c.seeds.push_back(p);
+        return true;
+    }
+    return false;
+}
+
+i64 chain_weight(const Chain& c) {
+    i64 w = 0, end = 0;
+    for (const Seed& s : c.seeds) {
+        if (s.qbeg >= end) w += s.len;
+        else if (s.qbeg + s.len > end) w += s.qbeg + s.len - end;
+        end = mx(end, s.qbeg + s.len);
+    }
+    i64 tmp = w;
+    w = 0; end = 0;
+    for (const Seed& s : c.seeds) {
+        if (s.rbeg >= end) w += s.len;
+        else if (s.rbeg + s.len > end) w += s.rbeg + s.len - end;
+        end = mx(end, s.rbeg + s.len);
+    }
+    w = mn(w, tmp);
+    return mn(w, (i64)((1LL << 30) - 1));
+}
+
+void chain_flt(const ChainOpt& o, std::vector<Chain>& chains) {
+    if (chains.empty()) return;
+    std::vector<Chain> a;
+    for (Chain& c : chains) {
+        c.first = -1;
+        c.kept = 0;
+        c.w = chain_weight(c);
+        if (c.w >= o.min_chain_weight) a.push_back(std::move(c));
+    }
+    chains.clear();
+    if (a.empty()) return;
+    std::stable_sort(a.begin(), a.end(),
+        [](const Chain& x, const Chain& y) {
+            if (x.w != y.w) return x.w > y.w;
+            if (x.pos != y.pos) return x.pos < y.pos;
+            return x.qbeg() < y.qbeg();
+        });
+    a[0].kept = 3;
+    std::vector<size_t> kept_idx{0};
+    for (size_t i = 1; i < a.size(); ++i) {
+        bool large_ovlp = false, broke = false;
+        for (size_t j : kept_idx) {
+            i64 b_max = mx(a[j].qbeg(), a[i].qbeg());
+            i64 e_min = mn(a[j].qend(), a[i].qend());
+            if (e_min > b_max && (!a[j].is_alt || a[i].is_alt)) {
+                i64 li = a[i].qend() - a[i].qbeg();
+                i64 lj = a[j].qend() - a[j].qbeg();
+                i64 min_l = mn(li, lj);
+                if ((double)(e_min - b_max) >= min_l * o.mask_level
+                        && min_l < o.max_chain_gap) {
+                    large_ovlp = true;
+                    if (a[j].first < 0) a[j].first = (i64)i;
+                    if ((double)a[i].w < a[j].w * o.drop_ratio
+                            && a[j].w - a[i].w >= o.min_seed_len * 2) {
+                        broke = true;
+                        break;
+                    }
+                }
+            }
+        }
+        if (!broke) {
+            kept_idx.push_back(i);
+            a[i].kept = large_ovlp ? 2 : 3;
+        }
+    }
+    for (size_t j : kept_idx)
+        if (a[j].first >= 0) a[a[j].first].kept = 1;
+    i64 k = 0;
+    size_t cut = a.size();
+    for (size_t i = 0; i < a.size(); ++i) {
+        if (a[i].kept == 0 || a[i].kept == 3) continue;
+        ++k;
+        if (k >= o.max_chain_extend) { cut = i; break; }
+    }
+    for (size_t i = cut; i < a.size(); ++i)
+        if (a[i].kept < 3) a[i].kept = 0;
+    for (Chain& c : a)
+        if (c.kept != 0) chains.push_back(std::move(c));
+}
+
+const i64 MEM_SHORT_EXT = 50, MEM_SHORT_LEN = 200;
+const double MEM_SEEDSW_COEF = 0.05, MEM_MINSC_COEF = 5.5,
+             MEM_HSP_COEF = 1.1;
+
+i64 mem_seed_sw(const ChainOpt& o, const Bnt& bnt, i64 l_query,
+                const u8* query, const Seed& s) {
+    if (s.len >= MEM_SHORT_LEN) return -1;
+    i64 qb = s.qbeg, qe = s.qbeg + s.len;
+    i64 rb = s.rbeg, re = s.rbeg + s.len;
+    i64 mid = (rb + re) >> 1;
+    qb = mx(qb - MEM_SHORT_EXT, (i64)0);
+    qe = mn(qe + MEM_SHORT_EXT, l_query);
+    rb = mx(rb - MEM_SHORT_EXT, (i64)0);
+    re = mn(re + MEM_SHORT_EXT, bnt.l_pac << 1);
+    if (rb < bnt.l_pac && bnt.l_pac < re) {
+        if (mid < bnt.l_pac) re = bnt.l_pac; else rb = bnt.l_pac;
+    }
+    if (qe - qb >= MEM_SHORT_LEN || re - rb >= MEM_SHORT_LEN) return -1;
+    int rid; i64 b2, e2;
+    bnt.fetch_bounds(rb, mid, re, &rid, &b2, &e2);
+    std::vector<u8> rseq = bnt.get_seq(b2, e2);
+    int32_t out7[7];
+    tpubwa_ksw_align((int32_t)(qe - qb), query + qb,
+                     (int32_t)(e2 - b2), rseq.data(), 5, o.mat,
+                     (int32_t)o.o_del, (int32_t)o.e_del,
+                     (int32_t)o.o_ins, (int32_t)o.e_ins, 0, 1, out7);
+    return out7[0];
+}
+
+void flt_chained_seeds(const ChainOpt& o, const Bnt& bnt, i64 l_query,
+                       const u8* query, std::vector<Chain>& chains) {
+    double min_l = o.min_chain_weight
+                       ? MEM_HSP_COEF * (double)o.min_chain_weight
+                       : MEM_MINSC_COEF * std::log((double)l_query);
+    if (min_l > MEM_SEEDSW_COEF * (double)l_query) return;
+    i64 min_hsp_score = (i64)((double)o.a * min_l + 0.499);
+    for (Chain& c : chains) {
+        std::vector<Seed> kept;
+        for (Seed s : c.seeds) {
+            i64 score = mem_seed_sw(o, bnt, l_query, query, s);
+            if (score < 0 || score >= min_hsp_score) {
+                s.score = score < 0 ? s.len * o.a : score;
+                kept.push_back(s);
+            }
+        }
+        c.seeds = kept;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// mem_chain + mem_chain_flt + mem_flt_chained_seeds for a whole chunk.
+// civ: a,o_del,e_del,o_ins,e_ins,w,max_chain_gap,min_seed_len,
+//      min_chain_weight,max_chain_extend,max_occ
+// cdv: mask_level, drop_ratio
+// per read i: intervals rows [intv_off[i], intv_off[i+1]) of intv[n,5];
+// per interval k: positions [pos_off[k], pos_off[k+1]) of pos[].
+// outputs (caller-allocated):
+//   chain_cnt[n_reads]; chain_meta[mc,3] (rid,is_alt,n_seeds);
+//   chain_fr[mc]; seeds[ms,4] (rbeg,qbeg,len,score)
+// returns 0, or -1 if mc/ms too small.
+int tpubwa_chain_batch(
+    const i64* civ, const double* cdv, const int32_t* mat,
+    const u8* codes, i64 l_pac, int32_t n_anns, const i64* ann_off,
+    const i64* ann_len, const u8* ann_alt, const char* name_blob,
+    const i64* name_off,
+    i64 n_reads, const u8* seq_blob, const i64* seq_off,
+    const i64* intv, const i64* intv_off, const i64* pos,
+    const i64* pos_off,
+    int32_t* chain_cnt, i64* chain_meta, double* chain_fr, i64 mc,
+    i64* seeds_out, i64 ms) {
+    ChainOpt o;
+    o.a = civ[0]; o.o_del = civ[1]; o.e_del = civ[2]; o.o_ins = civ[3];
+    o.e_ins = civ[4]; o.w = civ[5]; o.max_chain_gap = civ[6];
+    o.min_seed_len = civ[7]; o.min_chain_weight = civ[8];
+    o.max_chain_extend = civ[9]; o.max_occ = civ[10];
+    o.mask_level = cdv[0]; o.drop_ratio = cdv[1];
+    o.mat = mat;
+    Bnt bnt{codes, l_pac, n_anns, ann_off, ann_len, ann_alt,
+            name_blob, name_off};
+    i64 nc = 0, nsd = 0;
+    for (i64 ri = 0; ri < n_reads; ++ri) {
+        const u8* q = seq_blob + seq_off[ri];
+        i64 l_query = seq_off[ri + 1] - seq_off[ri];
+        std::vector<Chain> chains;
+        if (l_query >= o.min_seed_len) {
+            // frac_rep over this read's intervals
+            i64 l_rep = 0, b = 0, e = 0;
+            for (i64 k = intv_off[ri]; k < intv_off[ri + 1]; ++k) {
+                const i64* p = intv + k * 5;
+                if (p[2] <= o.max_occ) continue;
+                if (p[3] > e) { l_rep += e - b; b = p[3]; e = p[4]; }
+                else e = mx(e, p[4]);
+            }
+            l_rep += e - b;
+            // chaining over sampled positions (lower-bound merge)
+            std::vector<i64> keys;
+            for (i64 k = intv_off[ri]; k < intv_off[ri + 1]; ++k) {
+                const i64* p = intv + k * 5;
+                i64 slen = p[4] - p[3];
+                for (i64 t = pos_off[k]; t < pos_off[k + 1]; ++t) {
+                    Seed s{pos[t], p[3], slen, slen};
+                    int rid = intv2rid(bnt, s.rbeg, s.rbeg + s.len);
+                    if (rid < 0) continue;
+                    bool to_add = true;
+                    if (!chains.empty()) {
+                        // lower bound: largest anchor <= s.rbeg
+                        size_t idx = std::upper_bound(
+                            keys.begin(), keys.end(), s.rbeg)
+                            - keys.begin();
+                        if (idx > 0 && test_and_merge(
+                                o, l_pac, chains[idx - 1], s, rid))
+                            to_add = false;
+                    }
+                    if (to_add) {
+                        Chain c;
+                        c.rid = rid;
+                        c.pos = s.rbeg;
+                        c.seeds.push_back(s);
+                        c.is_alt = ann_alt[rid] ? 1 : 0;
+                        size_t idx = std::upper_bound(
+                            keys.begin(), keys.end(), s.rbeg)
+                            - keys.begin();
+                        keys.insert(keys.begin() + idx, s.rbeg);
+                        chains.insert(chains.begin() + idx,
+                                      std::move(c));
+                    }
+                }
+            }
+            for (Chain& c : chains)
+                c.frac_rep = (double)l_rep / (double)l_query;
+            chain_flt(o, chains);
+            flt_chained_seeds(o, bnt, l_query, q, chains);
+        }
+        chain_cnt[ri] = (int32_t)chains.size();
+        for (Chain& c : chains) {
+            if (nc >= mc) return -1;
+            chain_meta[nc * 3] = c.rid;
+            chain_meta[nc * 3 + 1] = c.is_alt;
+            chain_meta[nc * 3 + 2] = (i64)c.seeds.size();
+            chain_fr[nc] = c.frac_rep;
+            ++nc;
+            for (const Seed& s : c.seeds) {
+                if (nsd >= ms) return -1;
+                seeds_out[nsd * 4] = s.rbeg;
+                seeds_out[nsd * 4 + 1] = s.qbeg;
+                seeds_out[nsd * 4 + 2] = s.len;
+                seeds_out[nsd * 4 + 3] = s.score;
+                ++nsd;
+            }
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"
