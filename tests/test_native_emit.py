@@ -117,7 +117,6 @@ def test_chain_batch_equality(setup):
     flt_chained_seeds: identical chain order, seeds and frac_rep."""
     from tpubwa.host.chain import chain_flt, flt_chained_seeds, mem_chain
     from tpubwa.host.native_emit import chain_batch_native
-    from tpubwa.device.pipeline import DeviceAligner
     from tpubwa.ref.smem import collect_intv, sa_positions
     fmi, codes, rng = setup
     opt = MemOpt()
