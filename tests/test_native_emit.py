@@ -157,3 +157,38 @@ def test_chain_batch_equality(setup):
             assert [(s.rbeg, s.qbeg, s.len, s.score)
                     for s in cg.seeds] == \
                    [(s.rbeg, s.qbeg, s.len, s.score) for s in cw.seeds]
+
+
+@pytest.mark.parametrize("flags", [
+    0x8,            # -a: output all alignments (no XA, secondaries out)
+    0x200,          # -Y: soft-clip supplementary
+    0x10,           # -M: mark shorter split hits as secondary
+    0x8 | 0x200,
+])
+def test_pe_flag_combinations(setup, flags):
+    fmi, codes, rng = setup
+    opt = MemOpt(flag=MEM_F_PE | flags)
+    reads = _pairs(codes, rng, 24, corrupt_every=7)
+    _compare(opt, fmi, reads, 42, "rgX")
+
+
+@pytest.mark.parametrize("flags", [0x8, 0x10, 0x200])
+def test_se_flag_combinations(setup, flags):
+    fmi, codes, rng = setup
+    opt = MemOpt(flag=flags)
+    reads = []
+    for i in range(30):
+        pos = int(rng.integers(0, len(codes) - 100))
+        r = codes[pos:pos + 100].copy()
+        if i % 5 == 0:  # split read
+            p2 = int(rng.integers(36000, 55000))
+            r = np.concatenate([r[:50], codes[p2:p2 + 50]]).copy()
+        reads.append(Read(name=f"f{i}", seq=r, qual=None))
+    _compare(opt, fmi, reads, 5, "")
+
+
+def test_pe_nopairing_norescue(setup):
+    fmi, codes, rng = setup
+    opt = MemOpt(flag=MEM_F_PE | 0x4 | 0x20)  # -P -S
+    reads = _pairs(codes, rng, 20)
+    _compare(opt, fmi, reads, 9, "")
