@@ -122,8 +122,8 @@ def _attempt(log):
     # (align batch i+1 overlaps pairing/emit of batch i, as in a real
     # `tpubwa mem` run)
     n_pairs = 16000
-    batches = [simulate(codes, n_pairs // 4, 100, rng)
-               for _ in range(4)]
+    batches = [simulate(codes, n_pairs // 2, 100, rng)
+               for _ in range(2)]
     n_reads = sum(len(b) for b in batches)
     t0 = time.perf_counter()
     n_lines = 0
