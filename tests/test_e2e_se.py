@@ -185,3 +185,25 @@ def test_preset_changes_options(genome_index):
     assert p["b"] == 9 and p["o_del"] == 16
     p2 = preset("pacbio")
     assert p2["min_seed_len"] == 17
+
+
+def test_bwa_format_index_end_to_end(genome_index, tmp_path):
+    """Aligning from a stock-bwa-format index (.bwt/.sa/.pac/.ann/.amb
+    written by save_bwa, read by load_bwa) gives byte-identical records
+    to the native npz index (SURVEY.md §2 row 16 step-1 interop)."""
+    import shutil
+    from tpubwa.cli import load_index
+    d, codes, prefix = genome_index
+    rng = np.random.default_rng(21)
+    reads = simulate_reads(codes, 30, 100, rng, snp_rate=0.02)
+    fq = str(d / "interop.fq")
+    write_fastq(fq, reads)
+    base = run_mem(prefix, fq)[1]
+    # write only bwa-format files under a fresh prefix
+    fmi = load_index(prefix)
+    bdir = tmp_path / "bwafmt"
+    bdir.mkdir()
+    bpref = str(bdir / "ref.fa")
+    fmi.save_bwa(bpref)
+    got = run_mem(bpref, fq)[1]
+    assert got == base
