@@ -158,3 +158,28 @@ def test_pe_zero_insert_variance(pe_setup):
     assert len(recs) >= 48
     proper = [r for r in recs if int(r[1]) & 0x2]
     assert len(proper) >= 40  # identical-insert pairs still pair
+
+
+def test_smart_pairing_interleaved(pe_setup):
+    """-p: one interleaved FASTQ == two-file paired run (fastmap.c
+    smart pairing)."""
+    import io
+    import os
+    prefix, fq1, fq2, pairs = pe_setup
+    d = os.path.dirname(fq1)
+    inter = os.path.join(d, "inter.fq")
+    with open(fq1) as a, open(fq2) as b, open(inter, "w") as out:
+        while True:
+            r1 = [a.readline() for _ in range(4)]
+            r2 = [b.readline() for _ in range(4)]
+            if not r1[0]:
+                break
+            out.writelines(r1)
+            out.writelines(r2)
+    want = run_pe(prefix, fq1, fq2)
+    got_out = io.StringIO()
+    assert main_mem(["--device", "scalar", "-p", prefix, inter],
+                    out=got_out) == 0
+    got = [l.split("\t") for l in got_out.getvalue().splitlines()
+           if l and not l.startswith("@")]
+    assert got == want
