@@ -1,4 +1,10 @@
-// SA-IS suffix array construction (Nong, Zhang & Chan 2009), 64-bit.
+// SA-IS suffix array construction (Nong, Zhang & Chan 2009), 64-bit,
+// low-memory formulation: all per-level scratch (sorted LMS list,
+// substring names, reduced problem T1/SA1) lives inside the SA buffer
+// itself, as in the published algorithm.  Peak memory = 8n (SA) + n
+// (type array) + caller's text — this is what makes human-scale
+// genomes (6.2e9 doubled symbols) buildable on a 128 GB host.
+//
 // Index-construction engine for tpubwa (the role is.c/rope.c play in
 // the reference build path, SURVEY.md §2 row 16) — implemented from
 // the published induced-sorting algorithm, not ported code.
@@ -7,6 +13,7 @@
 // (value 0, occurring exactly once, at the end).  SA has the same
 // length as the text; SA[0] is the sentinel position.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -71,29 +78,30 @@ void sais(const TChar* T, i64 n, i64 K, i64* SA) {
   std::vector<i64> cnt, tail;
   bucket_sizes(T, n, K, cnt);
 
-  // step 1: place LMS positions at bucket tails, induce-sort
+  // step 1: place LMS positions at bucket tails, induce-sort so the
+  // SA prefix order of LMS positions equals LMS-substring order
   std::memset(SA, -1, sizeof(i64) * n);
   bucket_tails(cnt, tail);
   for (i64 i = n - 1; i >= 1; --i)
     if (is_lms(is_s, i)) SA[tail[T[i]]--] = i;
   induce(T, n, K, is_s, cnt, SA);
 
-  // step 2: collect sorted LMS, name their substrings
-  std::vector<i64> lms_sorted;
-  lms_sorted.reserve(n / 2 + 1);
+  // step 2: compact the sorted LMS positions into SA[0..n1), then name
+  // their substrings into SA[n1..) indexed by pos>>1 (LMS positions
+  // are never adjacent, so pos>>1 is injective and < n - n1)
+  i64 n1 = 0;
   for (i64 i = 0; i < n; ++i)
-    if (SA[i] > 0 && is_lms(is_s, SA[i])) lms_sorted.push_back(SA[i]);
-  // sentinel position n-1 is LMS by convention? it is S with T[n-2]
-  // L-type in all but degenerate cases; is_lms handles it uniformly.
-  std::vector<i64> name_of(n, -1);
+    if (SA[i] > 0 && is_lms(is_s, SA[i])) SA[n1++] = SA[i];
+  i64* names = SA + n1;
+  std::fill(names, SA + n, (i64)-1);
   i64 n_names = 0;
   i64 prev = -1;
-  for (i64 k = 0; k < (i64)lms_sorted.size(); ++k) {
-    i64 cur = lms_sorted[k];
+  for (i64 k = 0; k < n1; ++k) {
+    i64 cur = SA[k];
     bool diff = (prev < 0);
     if (!diff) {
-      // compare LMS substrings at prev and cur (to and including the
-      // next LMS position)
+      // compare LMS substrings at prev and cur (up to and including
+      // the next LMS position)
       for (i64 d = 0;; ++d) {
         bool lp = is_lms(is_s, prev + d), lc = is_lms(is_s, cur + d);
         if (d > 0 && lp && lc) break;            // both ended equal
@@ -102,27 +110,35 @@ void sais(const TChar* T, i64 n, i64 K, i64* SA) {
       }
     }
     if (diff) { ++n_names; prev = cur; }
-    name_of[cur] = n_names - 1;
+    names[cur >> 1] = n_names - 1;
   }
-  std::vector<i64> lms_pos;  // LMS positions in text order
-  lms_pos.reserve(lms_sorted.size());
-  for (i64 i = 1; i < n; ++i)
-    if (is_lms(is_s, i)) lms_pos.push_back(i);
-  i64 n1 = (i64)lms_pos.size();
-  std::vector<i64> T1(n1), SA1(n1);
-  for (i64 k = 0; k < n1; ++k) T1[k] = name_of[lms_pos[k]];
+  // compact the names (which appear in text order) to the END of SA:
+  // T1 = SA[n - n1 .. n)
+  for (i64 i = n - 1, j = n - 1; i >= n1; --i)
+    if (SA[i] >= 0) SA[j--] = SA[i];
+  i64* T1 = SA + n - n1;
 
+  // reduced problem: SA1 = SA[0..n1)
   if (n_names < n1) {
-    sais<i64>(T1.data(), n1, n_names, SA1.data());
+    sais<i64>(T1, n1, n_names, SA);
   } else {
-    for (i64 k = 0; k < n1; ++k) SA1[T1[k]] = k;
+    for (i64 k = 0; k < n1; ++k) SA[T1[k]] = k;
   }
 
-  // step 3: induce final SA from sorted LMS suffixes
-  std::memset(SA, -1, sizeof(i64) * n);
+  // step 3: map SA1 ranks back to LMS text positions.  T1 is no longer
+  // needed, so rebuild the text-order LMS position list in its place.
+  {
+    i64 j = 0;
+    for (i64 i = 1; i < n; ++i)
+      if (is_lms(is_s, i)) T1[j++] = i;
+  }
+  for (i64 k = 0; k < n1; ++k) SA[k] = T1[SA[k]];
+  // clear the rest and scatter the sorted LMS suffixes to bucket tails
+  std::memset(SA + n1, -1, sizeof(i64) * (n - n1));
   bucket_tails(cnt, tail);
   for (i64 k = n1 - 1; k >= 0; --k) {
-    i64 j = lms_pos[SA1[k]];
+    i64 j = SA[k];
+    SA[k] = -1;
     SA[tail[T[j]]--] = j;
   }
   induce(T, n, K, is_s, cnt, SA);
