@@ -39,13 +39,23 @@ SA_INTV = 32
 
 
 def pack_bwt_words(stored: np.ndarray) -> np.ndarray:
-    """Pack 0..3 codes 16-per-uint32, first base in the top bits."""
+    """Pack 0..3 codes 16-per-uint32, first base in the top bits.
+    Slab-wise: uint32 temporaries are 4x the text and spike the peak
+    at human scale."""
     n = len(stored)
-    pad = (-n) % 16
-    c = np.concatenate([stored, np.zeros(pad, np.uint8)]).astype(np.uint32)
-    c = c.reshape(-1, 16)
+    n_words = (n + 15) // 16
+    out = np.empty(n_words, np.uint32)
     shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
-    return (c << shifts[None, :]).sum(axis=1, dtype=np.uint32)
+    CH = (1 << 27)  # codes per slab (multiple of 16)
+    for s in range(0, n, CH):
+        blk = stored[s:s + CH]
+        pad = (-len(blk)) % 16
+        if pad:
+            blk = np.concatenate([blk, np.zeros(pad, np.uint8)])
+        c = blk.astype(np.uint32).reshape(-1, 16)
+        out[s // 16:s // 16 + c.shape[0]] = \
+            (c << shifts[None, :]).sum(axis=1, dtype=np.uint32)
+    return out
 
 
 def unpack_bwt_words(words: np.ndarray, n: int) -> np.ndarray:
@@ -58,12 +68,17 @@ def build_occ_ckpt(stored: np.ndarray) -> np.ndarray:
     """uint32[n_blocks+1, 4]: counts of each base before each 128-block."""
     n = len(stored)
     n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
-    pad = n_blocks * OCC_INTERVAL - n
-    s = np.concatenate([stored, np.full(pad, 255, np.uint8)])
     per_block = np.zeros((n_blocks, 4), dtype=np.int64)
-    blocks = s.reshape(n_blocks, OCC_INTERVAL)
-    for c in range(4):
-        per_block[:, c] = (blocks == c).sum(axis=1)
+    CH_BLOCKS = (1 << 27) // OCC_INTERVAL
+    for b0 in range(0, n_blocks, CH_BLOCKS):
+        b1 = min(b0 + CH_BLOCKS, n_blocks)
+        blk = stored[b0 * OCC_INTERVAL:b1 * OCC_INTERVAL]
+        pad = (b1 - b0) * OCC_INTERVAL - len(blk)
+        if pad:
+            blk = np.concatenate([blk, np.full(pad, 255, np.uint8)])
+        blocks = blk.reshape(b1 - b0, OCC_INTERVAL)
+        for c in range(4):
+            per_block[b0:b1, c] = (blocks == c).sum(axis=1)
     ckpt = np.zeros((n_blocks + 1, 4), dtype=np.int64)
     np.cumsum(per_block, axis=0, out=ckpt[1:])
     assert ckpt.max() < 2 ** 32
@@ -92,6 +107,7 @@ class FMIndex:
         L2[1:] = np.cumsum(counts)
         samples = sa[::SA_INTV].astype(np.int64).copy()
         samples[0] = -1  # bwa convention (rank 0 = sentinel row)
+        del sa  # 8n bytes — free before the packing passes
         return cls(seq_len=n, primary=primary, L2=L2,
                    bwt_words=pack_bwt_words(stored),
                    occ_ckpt=build_occ_ckpt(stored),

@@ -60,10 +60,20 @@ def bwt_from_sa(codes: np.ndarray, sa: np.ndarray):
     the full string).  Matches bwa's bwt_t.primary semantics.
     """
     n = len(codes)
-    primary = int(np.flatnonzero(sa == 0)[0])
-    prev = sa - 1  # position preceding each suffix
-    keep = sa != 0
-    stored = codes[prev[keep]]
-    # sanity: sa[0] is the sentinel row (suffix of length 0)
-    assert sa[0] == n
-    return stored.astype(np.uint8), primary
+    # slab-wise: whole-array temporaries here are 8n bytes (50 GB at
+    # human scale) and double the peak right after SA construction
+    assert sa[0] == n  # sentinel row first
+    stored = np.empty(n, np.uint8)
+    primary = -1
+    out = 0
+    CH = 1 << 27
+    for s0 in range(0, len(sa), CH):
+        blk = sa[s0:s0 + CH]
+        if primary < 0:
+            z = np.flatnonzero(blk == 0)
+            if len(z):
+                primary = s0 + int(z[0])
+        vals = codes[blk[blk != 0] - 1]
+        stored[out:out + len(vals)] = vals
+        out += len(vals)
+    return stored, primary
