@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Stage-level profiling at genome scale (the VERDICT round-2 metric is
+chr20-scale, 64 Mbp).  Builds/caches a synthetic index, aligns PE
+batches on the device pipeline, and prints a per-stage wall breakdown.
+
+Usage: python scripts/profile_scale.py [--mb 64] [--pairs 16000]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CACHE = os.path.join(os.path.expanduser("~"), ".cache", "tpubwa-bench")
+
+
+def cached_index(genome_mb: int, seed: int = 3):
+    from tpubwa.index.fmindex import FMIndex
+    from tpubwa.index.build import BntSeq, SeqAnn
+    os.makedirs(CACHE, exist_ok=True)
+    prefix = os.path.join(CACHE, f"idx{genome_mb}m")
+    if os.path.exists(prefix + ".npz"):
+        t0 = time.time()
+        fmi = FMIndex.load(prefix)
+        print(f"[prof] index loaded from cache: {fmi.seq_len} doubled, "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+        return fmi
+    n = genome_mb * 1_000_000
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, n).astype(np.uint8)
+    bnt = BntSeq(l_pac=n, anns=[SeqAnn(name="chrS", anno="", offset=0,
+                                       length=n, n_ambs=0)],
+                 ambs=[], seed=11, codes=codes)
+    t0 = time.time()
+    fmi = FMIndex.build(bnt)
+    print(f"[prof] index built: {n} bp in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    fmi.save(prefix)
+    return fmi
+
+
+def simulate(fmi, n_pairs, read_len, rng):
+    from tpubwa.io.fastq import Read
+    from tpubwa.index.build import unpack_pac
+    codes = fmi.bnt.codes
+    reads = []
+    L = len(codes)
+    isizes = np.maximum(rng.normal(350, 30, n_pairs).astype(int),
+                        read_len * 2 + 10)
+    poss = rng.integers(0, L - 500, n_pairs)
+    for i in range(n_pairs):
+        isize, pos = int(isizes[i]), int(poss[i])
+        r1 = codes[pos:pos + read_len].copy()
+        r2 = (3 - codes[pos + isize - read_len:pos + isize])[::-1].copy()
+        for r in (r1, r2):
+            mut = rng.random(read_len) < 0.01
+            r[mut] = (r[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        reads.append(Read(name=f"p{i}", seq=r1, qual=None))
+        reads.append(Read(name=f"p{i}", seq=r2, qual=None))
+    return reads
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=int, default=64)
+    ap.add_argument("--pairs", type=int, default=16000)
+    ap.add_argument("--batches", type=int, default=2)
+    ap.add_argument("--platform", default="auto")
+    args = ap.parse_args()
+
+    from tpubwa.utils import enable_compilation_cache
+    enable_compilation_cache()
+    from tpubwa.opts import MEM_F_PE, MemOpt
+    from tpubwa.host.pipeline import process_batches, process_seqs
+    from tpubwa.device.pipeline import make_device_aligner
+
+    fmi = cached_index(args.mb)
+    opt = MemOpt(flag=MEM_F_PE)
+    rng = np.random.default_rng(1)
+    aligner = make_device_aligner(opt, fmi, platform=args.platform)
+
+    # ---- instrument DeviceAligner stages
+    import tpubwa.device.pipeline as dp
+    stages = {}
+
+    def wrap(obj, name, label):
+        fn = getattr(obj, name)
+
+        def timed(*a, **k):
+            t0 = time.perf_counter()
+            r = fn(*a, **k)
+            stages[label] = stages.get(label, 0.0) + time.perf_counter() - t0
+            return r
+        setattr(obj, name, timed)
+
+    wrap(aligner, "_seed_chunk", "seed+sa")
+    wrap(aligner, "_chunk_regs", "chain+extend+post")
+
+    warm = simulate(fmi, 4096, 100, rng)
+    t0 = time.time()
+    process_seqs(opt, fmi, warm, 0, align_fn=aligner)
+    print(f"[prof] warmup (compiles): {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    stages.clear()
+
+    batches = [simulate(fmi, args.pairs // args.batches, 100, rng)
+               for _ in range(args.batches)]
+    n_reads = sum(len(b) for b in batches)
+    t0 = time.perf_counter()
+    n_lines = 0
+    for batch, lines in process_batches(opt, fmi, iter(batches), 0,
+                                        align_fn=aligner):
+        n_lines += len(lines)
+    dt = time.perf_counter() - t0
+    print(f"[prof] {n_reads} reads in {dt:.2f}s = "
+          f"{n_reads / dt:.0f} reads/s ({args.mb} Mb genome); "
+          f"{n_lines} records", file=sys.stderr)
+    tot = sum(stages.values())
+    for k, v in sorted(stages.items(), key=lambda kv: -kv[1]):
+        print(f"[prof]   {k:24s} {v:7.2f}s", file=sys.stderr)
+    print(f"[prof]   (instrumented total     {tot:7.2f}s; "
+          f"overlap hides some)", file=sys.stderr)
+    ext = aligner.extender
+    print(f"[prof]   waves={ext.n_waves} jobs={ext.n_jobs} "
+          f"fallback={ext.n_fallback}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""bwa >= 0.7.15 flag-surface parity: -h, -V, -j, -5, -q, -v, AH:*
+header lines (fastmap.c:~90-210 option table; VERDICT round-1 item 8)."""
+import io
+
+import numpy as np
+import pytest
+
+from tpubwa.cli import main_index, main_mem
+from tpubwa.opts import (MEM_F_KEEP_SUPP_MAPQ, MEM_F_PRIMARY5,
+                         MEM_F_REF_HDR)
+from simread import simulate_reads, write_fastq
+
+
+@pytest.fixture(scope="module")
+def alt_index(tmp_path_factory):
+    rng = np.random.default_rng(5)
+    d = tmp_path_factory.mktemp("flags")
+    codes = rng.integers(0, 4, 12000).astype(np.uint8)
+    b = "".join("ACGT"[c] for c in codes)
+    fa = d / "ref.fa"
+    # two contigs; the second is declared ALT via a .alt file
+    fa.write_text(">chrM main\n" + b[:8000] + "\n>chrA alt\n"
+                  + b[8000:] + "\n")
+    assert main_index([str(fa)]) == 0
+    (d / "ref.fa.alt").write_text("chrA\t0\t*\n")
+    return d, codes, str(fa)
+
+
+def run_mem(prefix, fq, extra=None):
+    out = io.StringIO()
+    args = ["--device", "scalar"] + (extra or []) + [prefix, fq]
+    assert main_mem(args, out=out) == 0
+    header, records = [], []
+    for line in out.getvalue().splitlines():
+        (header if line.startswith("@") else records).append(line)
+    return header, [r.split("\t") for r in records if r]
+
+
+def _reads(codes, d, n=20, seed=1):
+    rng = np.random.default_rng(seed)
+    reads = simulate_reads(codes[:8000], n, 100, rng, snp_rate=0.0,
+                           indel_rate=0.0)
+    fq = str(d / f"r{seed}.fq")
+    write_fastq(fq, reads)
+    return fq
+
+
+def test_ah_header_for_alt_contigs(alt_index):
+    d, codes, prefix = alt_index
+    fq = _reads(codes, d)
+    header, _ = run_mem(prefix, fq)
+    sq = {h.split("\t")[1][3:]: h for h in header if h.startswith("@SQ")}
+    assert "AH:*" not in sq["chrM"]
+    assert sq["chrA"].endswith("AH:*")
+
+
+def test_j_ignores_alt_file(alt_index):
+    d, codes, prefix = alt_index
+    fq = _reads(codes, d)
+    header, _ = run_mem(prefix, fq, ["-j"])
+    assert not any("AH:*" in h for h in header)
+
+
+def test_V_emits_XR_tag(alt_index):
+    d, codes, prefix = alt_index
+    fq = _reads(codes, d)
+    _, recs = run_mem(prefix, fq, ["-V"])
+    mapped = [r for r in recs if r[2] == "chrM"]
+    assert mapped and all(any(f == "XR:Z:main" for f in r) for r in mapped)
+
+
+def test_flag_bits_parsed(alt_index):
+    """-5 implies -q; -h sets both XA caps; plumbed via build_opt."""
+    import argparse
+    from tpubwa.cli import _add_mem_opts, build_opt
+    ap = argparse.ArgumentParser(add_help=False)
+    _add_mem_opts(ap)
+    args = ap.parse_args(["-5", "-h", "7"])
+    opt = build_opt(args)
+    assert opt.flag & MEM_F_PRIMARY5
+    assert opt.flag & MEM_F_KEEP_SUPP_MAPQ
+    assert opt.max_XA_hits == 7 and opt.max_XA_hits_alt == 7
+    args = ap.parse_args(["-V", "-h", "6,123"])
+    opt = build_opt(args)
+    assert opt.flag & MEM_F_REF_HDR
+    assert (opt.max_XA_hits, opt.max_XA_hits_alt) == (6, 123)
+
+
+def test_reorder_primary5():
+    """-5 moves the leftmost-on-query primary to slot 0 and remaps
+    secondary/secondary_all indices (mem_reorder_primary5)."""
+    from tpubwa.host.regions import AlnReg, _reorder_primary5
+    def reg(qb, score, secondary=-1, secondary_all=-1):
+        r = AlnReg(rb=0, re=100, qb=qb, qe=qb + 50, score=score,
+                   rid=0)
+        r.secondary = secondary
+        r.secondary_all = secondary_all
+        return r
+    # regs[0] scores highest but starts at qb=40; regs[1] starts at 0
+    regs = [reg(40, 90), reg(0, 80), reg(10, 60, secondary=0,
+                                         secondary_all=0)]
+    _reorder_primary5(30, regs)
+    assert regs[0].qb == 0
+    assert regs[1].qb == 40
+    assert regs[2].secondary == 1  # followed its target through the swap
+    assert regs[2].secondary_all == 1
+    # single primary: no reorder
+    regs = [reg(40, 90), reg(0, 20)]
+    _reorder_primary5(30, regs)
+    assert regs[0].qb == 40
+
+
+def test_supp_mapq_kept_with_q(alt_index):
+    """Synthetic split read: chimera of two genome windows produces a
+    supplementary record; with -q its MAPQ is not capped by the
+    primary's."""
+    d, codes, prefix = alt_index
+    from tpubwa.io.fastq import Read  # noqa: F401 (documentation)
+    chim = np.concatenate([codes[1000:1075], codes[4000:4075]])
+    fq = str(d / "chim.fq")
+    with open(fq, "w") as fh:
+        fh.write("@c0\n" + "".join("ACGT"[c] for c in chim)
+                 + "\n+\n" + "I" * len(chim) + "\n")
+    _, plain = run_mem(prefix, fq)
+    _, keep = run_mem(prefix, fq, ["-q"])
+    supp_plain = [r for r in plain if int(r[1]) & 0x800]
+    supp_keep = [r for r in keep if int(r[1]) & 0x800]
+    assert supp_plain and supp_keep
+    # both halves align perfectly and uniquely -> uncapped mapq is
+    # >= the capped one, and the records otherwise agree
+    assert int(supp_keep[0][4]) >= int(supp_plain[0][4])
+    assert supp_keep[0][3] == supp_plain[0][3]

@@ -14,14 +14,15 @@ import numpy as np
 from . import __version__
 from .index.fmindex import FMIndex
 from .io.fastq import FastqReader, read_fastq_batch
-from .opts import (MEM_F_ALL, MEM_F_NOPAIRING, MEM_F_NO_MULTI,
-                   MEM_F_NO_RESCUE, MEM_F_PE, MEM_F_SMARTPE,
+from .opts import (MEM_F_ALL, MEM_F_KEEP_SUPP_MAPQ, MEM_F_NOPAIRING,
+                   MEM_F_NO_MULTI, MEM_F_NO_RESCUE, MEM_F_PE,
+                   MEM_F_PRIMARY5, MEM_F_REF_HDR, MEM_F_SMARTPE,
                    MEM_F_SOFTCLIP, MemOpt, preset)
 
 log = logging.getLogger("tpubwa")
 
 
-def load_index(prefix: str) -> FMIndex:
+def load_index(prefix: str, ignore_alt: bool = False) -> FMIndex:
     """bwa_idx_load equivalent: prefer the shm cache (mmap, shared page
     cache across processes), then our npz, then stock bwa index files
     (bwa.c:~260).  A ``<prefix>.alt`` file (bwa.kit ALT-contig list,
@@ -38,6 +39,8 @@ def load_index(prefix: str) -> FMIndex:
         raise FileNotFoundError(
             f"no index found at {prefix}[.tpubwa.npz|.bwt]")
     alt_path = prefix + ".alt"
+    if ignore_alt:
+        return fmi  # -j: ALT contigs are part of the primary assembly
     if os.path.exists(alt_path):
         names = set()
         with open(alt_path) as fh:
@@ -123,6 +126,18 @@ def _add_mem_opts(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("-C", action="store_true", dest="append_comment")
     ap.add_argument("-Y", action="store_true", dest="softclip_supp")
     ap.add_argument("-M", action="store_true", dest="mark_short_split")
+    # bwa >= 0.7.15 surface (the version this CLI is pinned to):
+    ap.add_argument("-h", dest="xa_hits", default=None, metavar="INT[,INT]",
+                    help="max XA hits to output [5,200]")
+    ap.add_argument("-V", action="store_true", dest="ref_hdr",
+                    help="output the reference FASTA header in the XR tag")
+    ap.add_argument("-j", action="store_true", dest="ignore_alt",
+                    help="treat ALT contigs as primary (ignore .alt file)")
+    ap.add_argument("-5", action="store_true", dest="primary5",
+                    help="smallest-coordinate split hit as primary "
+                         "(implies -q)")
+    ap.add_argument("-q", action="store_true", dest="keep_supp_mapq",
+                    help="don't cap supplementary mapQ by the primary's")
     ap.add_argument("-I", default=None, dest="insert_spec",
                     help="mean[,std[,max[,min]]] insert size override")
     ap.add_argument("-v", type=int, default=3, dest="verbosity")
@@ -183,7 +198,18 @@ def build_opt(args) -> MemOpt:
         flag |= MEM_F_SOFTCLIP
     if args.mark_short_split:
         flag |= MEM_F_NO_MULTI
+    if getattr(args, "ref_hdr", False):
+        flag |= MEM_F_REF_HDR
+    if getattr(args, "primary5", False):
+        # fastmap.c: -5 always applies MEM_F_KEEP_SUPP_MAPQ too
+        flag |= MEM_F_PRIMARY5 | MEM_F_KEEP_SUPP_MAPQ
+    if getattr(args, "keep_supp_mapq", False):
+        flag |= MEM_F_KEEP_SUPP_MAPQ
     kw["flag"] = flag
+    if getattr(args, "xa_hits", None):
+        parts = [int(x) for x in args.xa_hits.split(",")]
+        kw["max_XA_hits"] = parts[0]
+        kw["max_XA_hits_alt"] = parts[1] if len(parts) > 1 else parts[0]
     if args.chunk_size:
         kw["chunk_size"] = args.chunk_size
     return MemOpt(**kw)
@@ -215,13 +241,19 @@ def parse_insert_spec(spec: str):
 
 
 def main_mem(argv, out=None) -> int:
-    ap = argparse.ArgumentParser(prog="tpubwa mem")
+    # add_help=False: bwa's -h is the XA-cap option; use --help
+    ap = argparse.ArgumentParser(prog="tpubwa mem", add_help=False)
+    ap.add_argument("--help", action="help")
     _add_mem_opts(ap)
     ap.add_argument("prefix")
     ap.add_argument("reads")
     ap.add_argument("mates", nargs="?", default=None)
     args = ap.parse_args(argv)
     opt = build_opt(args)
+    # -v: bwa verbosity levels 1=err 2=warn 3=info 4+=debug
+    log.setLevel({1: logging.ERROR, 2: logging.WARNING}.get(
+        args.verbosity, logging.INFO if args.verbosity == 3
+        else logging.DEBUG))
     close_out = False
     if out is None:
         if args.out_file:
@@ -231,7 +263,7 @@ def main_mem(argv, out=None) -> int:
             close_out = True
         else:
             out = sys.stdout
-    fmi = load_index(args.prefix)
+    fmi = load_index(args.prefix, ignore_alt=args.ignore_alt)
     from .host.pipeline import sam_header
 
     paired = args.mates is not None or args.smart_pairing

@@ -366,7 +366,11 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     use_cursor: run rounds 1-2 on the lockstep bwt_smem1a cursor
     machine (smem_cursor.py, ~10x less BWT work than the all-starts
     reach); lanes that overflow its stack/emission caps fall back to
-    the scalar reference (needs ``fmi``)."""
+    the scalar reference (needs ``fmi``).  Without an ``fmi`` the
+    overflow fallback is unavailable, so the call degrades to the
+    all-starts reach path instead of crashing on repetitive input."""
+    if use_cursor and fmi is None:
+        use_cursor = False
     B, L = reads.shape
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
     # one H2D of the chunk's codes (uint8: the link is slow), reused by

@@ -256,6 +256,9 @@ def run_smem_jobs(didx: DeviceIndex, qd, ld, jobs, min_seed_len: int,
     count to pow2 buckets; returns (mem [n, MAXM, 5], mem_n [n],
     overflow [n]) trimmed to the real lane count."""
     n = len(jobs[0])
+    # the aux packing below is mem_n | (overflow << 30); decoding masks
+    # with 0xFFFF, so the emission cap must stay below 2^16
+    assert MAXM < (1 << 16), "MAXM breaks the packed-aux invariant"
     if P == 0:
         # stack depth ~ #distinct interval sizes along one extension
         # path, which grows with log4(genome); overflow lanes fall back

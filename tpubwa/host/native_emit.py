@@ -79,6 +79,11 @@ def emit_batch_native(opt: MemOpt, fmi, reads: Sequence,
     lib = _lib()
     if lib is None:
         return None
+    from ..opts import MEM_F_REF_HDR
+    if opt.flag & MEM_F_REF_HDR:
+        # -V needs the .ann anno strings, which the native ABI does not
+        # ship — rare flag, Python path handles it
+        return None
     bnt = fmi.bnt
     bc = _bnt_cache(bnt)
     iv = np.asarray([
@@ -132,7 +137,7 @@ def emit_batch_native(opt: MemOpt, fmi, reads: Sequence,
         return a.ctypes.data_as(t)
 
     cap = len(reads) * 1024 + (1 << 16)
-    for _ in range(3):
+    for attempt in range(2):
         out = ctypes.create_string_buffer(cap)
         n = lib.tpubwa_emit_batch(
             P(iv, i64p), P(dv, dp), P(mat, i32p),
@@ -152,7 +157,15 @@ def emit_batch_native(opt: MemOpt, fmi, reads: Sequence,
         if n >= 0:
             text = out.raw[:n].decode()
             return text.split("\n")[:-1] if text else []
-        cap = -n + 4096
+        # the native side returns the exact needed size as -n; one
+        # retry with that capacity must succeed — a second failure
+        # means a size-accounting bug, so surface it instead of
+        # silently degrading to the (50x slower) Python path
+        cap = -n + 1
+    import logging
+    logging.getLogger("tpubwa").warning(
+        "native emit failed twice (last needed %d bytes); "
+        "falling back to Python emit", -n)
     return None
 
 

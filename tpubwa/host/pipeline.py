@@ -46,8 +46,9 @@ def sam_header(fmi: FMIndex, rg_line: Optional[str], pg_cl: str,
                version: str) -> str:
     lines = []
     for a in fmi.bnt.anns:
-        lines.append(f"@SQ\tSN:{a.name}\tLN:{a.length}")
-        # (ALT handling: AH:* for alt contigs would go here)
+        # ALT contigs carry the AH:* tag (bwa.c:bwa_print_sam_hdr)
+        ah = "\tAH:*" if getattr(a, "is_alt", 0) else ""
+        lines.append(f"@SQ\tSN:{a.name}\tLN:{a.length}{ah}")
     if rg_line:
         lines.append(rg_line.replace("\\t", "\t"))
     lines.append(f"@PG\tID:tpubwa\tPN:tpubwa\tVN:{version}\tCL:{pg_cl}")

@@ -19,7 +19,7 @@ from typing import List
 import numpy as np
 
 from ..index.build import BntSeq
-from ..opts import MemOpt
+from ..opts import MEM_F_PRIMARY5, MemOpt
 from ..ref.ksw import ksw_extend, ksw_global
 from .chain import Chain
 
@@ -483,7 +483,37 @@ def mark_primary(opt: MemOpt, regs: List[AlnReg], read_id: int) -> int:
     else:
         for r in regs:
             r.secondary_all = r.secondary
+    if opt.flag & MEM_F_PRIMARY5:
+        _reorder_primary5(opt.T, regs)
     return n_pri
+
+
+def _reorder_primary5(T: int, regs: List[AlnReg]) -> None:
+    """mem_reorder_primary5 (-5): move the leftmost-on-query primary
+    alignment with score >= T to slot 0 so split reads report their
+    5'-most piece as the representative record."""
+    n_pri = sum(1 for p in regs
+                if p.secondary < 0 and not p.is_alt and p.score >= T)
+    if n_pri <= 1:
+        return
+    left_st, left_k = 1 << 62, -1
+    for k, p in enumerate(regs):
+        if p.secondary >= 0 or p.is_alt or p.score < T:
+            continue
+        if p.qb < left_st:
+            left_st, left_k = p.qb, k
+    if left_k <= 0:
+        return
+    regs[0], regs[left_k] = regs[left_k], regs[0]
+    for p in regs[1:]:
+        if p.secondary == 0:
+            p.secondary = left_k
+        elif p.secondary == left_k:
+            p.secondary = 0
+        if p.secondary_all == 0:
+            p.secondary_all = left_k
+        elif p.secondary_all == left_k:
+            p.secondary_all = 0
 
 
 def approx_mapq(opt: MemOpt, a: AlnReg) -> int:

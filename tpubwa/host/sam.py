@@ -10,7 +10,8 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..index.build import BntSeq, CODE2BASE
-from ..opts import (MEM_F_ALL, MEM_F_NO_MULTI, MEM_F_SOFTCLIP, MemOpt)
+from ..opts import (MEM_F_ALL, MEM_F_KEEP_SUPP_MAPQ, MEM_F_NO_MULTI,
+                    MEM_F_REF_HDR, MEM_F_SOFTCLIP, MemOpt)
 from ..ref.ksw import ksw_global
 from .regions import AlnReg, approx_mapq
 
@@ -294,6 +295,12 @@ def aln2sam(opt: MemOpt, bnt: BntSeq, name: str, seq: np.ndarray,
             tags.append(f"pa:f:{p.score / p.alt_sc:.3f}")
     if p.XA:
         tags.append(f"XA:Z:{p.XA}")
+    if (opt.flag & MEM_F_REF_HDR) and rid >= 0 \
+            and bnt.anns[rid].anno not in ("", "(null)"):
+        # -V: carry the reference FASTA comment in the XR tag
+        # (mem_aln2sam's MEM_F_REF_HDR branch)
+        tags.append("XR:Z:" + bnt.anns[rid].anno
+                    .replace("\t", " ").replace("\n", " "))
     if comment:
         tags.append(comment)
     return "\t".join(out + tags)
@@ -366,7 +373,9 @@ def reg2sam(opt: MemOpt, bnt: BntSeq, name: str, seq: np.ndarray,
             q.sub = -1  # don't output suboptimal score for secondaries
         if l and p.secondary < 0:
             q.flag |= 0x10000 if (opt.flag & MEM_F_NO_MULTI) else 0x800
-        if l and not p.is_alt and q.mapq > alns[0].mapq:
+        if not (opt.flag & MEM_F_KEEP_SUPP_MAPQ) and l \
+                and not p.is_alt and q.mapq > alns[0].mapq:
+            # cap supplementary mapq by the primary's (skipped by -q)
             q.mapq = alns[0].mapq
         l += 1
         alns.append(q)

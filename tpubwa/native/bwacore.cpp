@@ -37,7 +37,8 @@ struct Opt {
     int32_t mat[25];
 };
 const i64 MEM_F_NOPAIRING = 0x4, MEM_F_ALL = 0x8, MEM_F_NO_MULTI = 0x10,
-          MEM_F_NO_RESCUE = 0x20, MEM_F_SOFTCLIP = 0x200;
+          MEM_F_NO_RESCUE = 0x20, MEM_F_SOFTCLIP = 0x200,
+          MEM_F_PRIMARY5 = 0x800, MEM_F_KEEP_SUPP_MAPQ = 0x1000;
 
 // ---- reference metadata ---------------------------------------------
 struct Bnt {
@@ -207,6 +208,33 @@ i64 mark_primary(const Opt& o, std::vector<Reg>& regs, i64 read_id) {
     } else {
         for (size_t i = 0; i < n; ++i)
             regs[i].secondary_all = regs[i].secondary;
+    }
+    if (o.flag & MEM_F_PRIMARY5) {
+        // mem_reorder_primary5 (-5): leftmost-on-query primary first
+        i64 npri5 = 0;
+        for (size_t k = 0; k < n; ++k)
+            if (regs[k].secondary < 0 && !regs[k].is_alt
+                    && regs[k].score >= o.T) ++npri5;
+        if (npri5 > 1) {
+            i64 left_st = INT64_MAX, left_k = -1;
+            for (size_t k = 0; k < n; ++k) {
+                const Reg& p = regs[k];
+                if (p.secondary >= 0 || p.is_alt || p.score < o.T)
+                    continue;
+                if (p.qb < left_st) { left_st = p.qb; left_k = (i64)k; }
+            }
+            if (left_k > 0) {
+                std::swap(regs[0], regs[(size_t)left_k]);
+                for (size_t k = 1; k < n; ++k) {
+                    Reg& p = regs[k];
+                    if (p.secondary == 0) p.secondary = left_k;
+                    else if (p.secondary == left_k) p.secondary = 0;
+                    if (p.secondary_all == 0) p.secondary_all = left_k;
+                    else if (p.secondary_all == left_k)
+                        p.secondary_all = 0;
+                }
+            }
+        }
     }
     return n_pri;
 }
@@ -686,7 +714,8 @@ void reg2sam(const Opt& o, const Bnt& bnt, const ReadView& rd,
         if (p.secondary >= 0) q.sub = -1;
         if (l && p.secondary < 0)
             q.flag |= (o.flag & MEM_F_NO_MULTI) ? 0x10000 : 0x800;
-        if (l && !p.is_alt && q.mapq > alns[0].mapq)
+        if (!(o.flag & MEM_F_KEEP_SUPP_MAPQ) && l && !p.is_alt
+                && q.mapq > alns[0].mapq)
             q.mapq = alns[0].mapq;
         ++l;
         alns.push_back(std::move(q));

@@ -27,6 +27,8 @@ MEM_F_NO_RESCUE = 0x20
 MEM_F_REF_HDR = 0x100
 MEM_F_SOFTCLIP = 0x200
 MEM_F_SMARTPE = 0x400
+MEM_F_PRIMARY5 = 0x800
+MEM_F_KEEP_SUPP_MAPQ = 0x1000
 
 # mem_alnreg_t secondary / SAM flag helpers
 SAM_FLAG_PAIRED = 0x1
