@@ -116,3 +116,34 @@ def test_device_pipeline_int64_path(monkeypatch):
     dev = process_seqs(opt, fmi, reads, 0, align_fn=aligner)
     sc = process_seqs(opt, fmi, reads, 0, align_fn=None)
     assert dev == sc
+
+
+def test_mixed_length_batch_keeps_device_path(setup):
+    """One >cap read must not push the whole batch to the scalar path
+    (VERDICT round-1 weak item 5): short reads still go through the
+    device pipeline, the oversize read gets the scalar path, and every
+    read's regions equal the all-scalar result in order."""
+    d, codes, prefix, fmi = setup
+    rng = np.random.default_rng(17)
+    opt = MemOpt()
+    mat = opt.scoring_matrix()
+    aligner = make_device_aligner(opt, fmi, platform="cpu")
+    reads = []
+    for i in range(6):
+        pos = int(rng.integers(0, len(codes) - 600))
+        L = 500 if i == 2 else 100  # read 2 exceeds read_len_cap=256
+        reads.append(Read(name=f"m{i}", seq=codes[pos:pos + L].copy(),
+                          qual=None))
+    calls = {"n": 0}
+    orig = aligner._seed_chunk
+
+    def spy(chunk):
+        calls["n"] += 1
+        assert all(r.l_seq <= aligner.read_len_cap for r in chunk)
+        return orig(chunk)
+
+    aligner._seed_chunk = spy
+    got = aligner.align_batch(reads)
+    assert calls["n"] >= 1  # device path actually ran for the shorts
+    want = [align1_core(opt, fmi, r, mat) for r in reads]
+    assert [_regs_key(r) for r in got] == [_regs_key(r) for r in want]

@@ -209,8 +209,19 @@ class DeviceAligner:
         if not reads:
             return []
         if max(r.l_seq for r in reads) > self.read_len_cap:
+            # route ONLY the oversize reads to the scalar path — one
+            # long read must not de-accelerate the whole batch
             from ..host.pipeline import align1_core
-            return [align1_core(opt, fmi, r, mat) for r in reads]
+            long_idx = [i for i, r in enumerate(reads)
+                        if r.l_seq > self.read_len_cap]
+            if len(long_idx) == len(reads):
+                return [align1_core(opt, fmi, r, mat) for r in reads]
+            long_set = set(long_idx)
+            short = [r for i, r in enumerate(reads) if i not in long_set]
+            short_regs = iter(self.align_batch(short))
+            return [align1_core(opt, fmi, r, mat) if i in long_set
+                    else next(short_regs)
+                    for i, r in enumerate(reads)]
         ch = self.chunk_reads
         chunks = [reads[s:s + ch] for s in range(0, len(reads), ch)]
         out: List[List[AlnReg]] = []
