@@ -22,7 +22,7 @@ def cached_index(genome_mb: int, seed: int = 3):
     from tpubwa.index.build import BntSeq, SeqAnn
     os.makedirs(CACHE, exist_ok=True)
     prefix = os.path.join(CACHE, f"idx{genome_mb}m")
-    if os.path.exists(prefix + ".npz"):
+    if os.path.exists(prefix + ".tpubwa.npz"):
         t0 = time.time()
         fmi = FMIndex.load(prefix)
         print(f"[prof] index loaded from cache: {fmi.seq_len} doubled, "
@@ -98,6 +98,15 @@ def main():
 
     wrap(aligner, "_seed_chunk", "seed+sa")
     wrap(aligner, "_chunk_regs", "chain+extend+post")
+    wrap(aligner, "_sa_positions", "  sa-walk(sync)")
+    import tpubwa.device.smem_cursor as sc
+    import tpubwa.device.smem as sm
+    wrap(sc, "run_smem_jobs", "  cursor-machine(sync)")
+    wrap(sm, "_seed_strategy_scan", "  r3-dispatch")
+    import tpubwa.host.native_emit as ne
+    wrap(ne, "chain_batch_native", "  chain-native")
+    import tpubwa.device.extend_fused as ef
+    wrap(ef, "extend_seed_desc_np", "  extend-desc(sync)")
 
     warm = simulate(fmi, 4096, 100, rng)
     t0 = time.time()

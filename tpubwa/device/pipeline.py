@@ -102,11 +102,13 @@ class DeviceAligner:
     def _sa_positions(self, per_read_intvs):
         """Subsample ranks per bwa protocol (mem_chain head: step =
         occ/max_occ, up to max_occ samples), one batched device
-        lookup.  Rank construction is vectorized across every interval
-        of the chunk."""
-        counts = [len(rows) for rows in per_read_intvs]
-        if sum(counts) == 0:
-            return [[] for _ in per_read_intvs]
+        lookup.  Fully vectorized; returns FLAT (pos, cnt) — positions
+        for all intervals of the chunk in (read, interval-row) order
+        plus the per-interval sample counts.  Avoids building ~1e5
+        nested Python lists per chunk on the single host core."""
+        cnt0 = np.zeros(0, np.int64)
+        if sum(len(rows) for rows in per_read_intvs) == 0:
+            return np.zeros(0, np.int64), cnt0
         flat = np.concatenate([rows for rows in per_read_intvs
                                if len(rows)]).astype(np.int64)
         x0 = flat[:, 0]
@@ -117,24 +119,16 @@ class DeviceAligner:
         ends = np.cumsum(cnt)
         n = int(ends[-1])
         if n == 0:
-            return [[] for _ in per_read_intvs]
+            return np.zeros(0, np.int64), cnt
         base = np.repeat(ends - cnt, cnt)
         k = np.arange(n, dtype=np.int64) - base
         ranks = np.repeat(x0, cnt) + k * np.repeat(step, cnt)
         m = _pad_pow2(n)
         arr = np.zeros(m, self.didx.np_idt)
         arr[:n] = ranks
-        pos = np.asarray(sa_lookup(self.didx, jnp.asarray(arr)))[:n]
-        out = []
-        ii = 0
-        for c in counts:
-            rows_pos = []
-            for _ in range(c):
-                lo = int(ends[ii] - cnt[ii])
-                rows_pos.append(pos[lo:int(ends[ii])])
-                ii += 1
-            out.append(rows_pos)
-        return out
+        pos = np.asarray(sa_lookup(self.didx,
+                                   jnp.asarray(arr)))[:n].astype(np.int64)
+        return pos, cnt
 
     # -------------------------------------------------------------
     def _seed_chunk(self, chunk: Sequence[Read]):
@@ -172,6 +166,9 @@ class DeviceAligner:
         from ..host.native_emit import chain_batch_native
         chains_per_read = chain_batch_native(opt, fmi, chunk, intv_rows,
                                              positions)
+        nested = None
+        if chains_per_read is None:
+            nested = _nest_positions(intv_rows, positions)
         all_regs: List[List[AlnReg]] = []
         plans_by_read = []
         for ri, read in enumerate(chunk):
@@ -180,7 +177,7 @@ class DeviceAligner:
             else:
                 chains = mem_chain(opt, fmi, read.seq,
                                    intvs=intv_rows[ri],
-                                   positions=positions[ri])
+                                   positions=nested[ri])
                 chains = chain_flt(opt, chains)
                 flt_chained_seeds(opt, fmi.bnt, read.l_seq, read.seq,
                                   chains, mat)
@@ -243,6 +240,22 @@ class DeviceAligner:
 
     def __call__(self, reads: Sequence[Read]) -> List[List[AlnReg]]:
         return self.align_batch(reads)
+
+
+def _nest_positions(intv_rows, positions):
+    """Flat (pos, cnt) -> per-read lists of per-interval position
+    arrays (the scalar mem_chain contract; fallback path only)."""
+    pos, cnt = positions
+    ends = np.cumsum(cnt)
+    out = []
+    ii = 0
+    for rows in intv_rows:
+        per = []
+        for _ in range(len(rows)):
+            per.append(pos[int(ends[ii] - cnt[ii]):int(ends[ii])])
+            ii += 1
+        out.append(per)
+    return out
 
 
 def _serialize_per_read(plans_by_read):

@@ -261,8 +261,10 @@ def _seed_strategy_scan(didx: DeviceIndex, q: jnp.ndarray,
 
 
 def _rounds12_cursor(opt, didx, qd, ld, lens_np, reads, split_len, fmi):
-    """Rounds 1-2 via the cursor machine.  Returns (r1 per-read rows,
-    r2 list of (read_idx, rows))."""
+    """Rounds 1-2 via the cursor machine.  Returns flat (rows [n, 5]
+    int64, read_ids [n]) for both rounds combined, unsorted — the
+    caller's global merge lexsorts once for the whole chunk.  All post
+    logic is vectorized; only overflow lanes (rare) loop in Python."""
     from .smem_cursor import run_smem_jobs
     B = len(lens_np)
     npdt = didx.np_idt
@@ -270,55 +272,46 @@ def _rounds12_cursor(opt, didx, qd, ld, lens_np, reads, split_len, fmi):
         didx, qd, ld,
         (np.arange(B, dtype=np.int32), np.zeros(B, np.int32),
          np.ones(B, npdt), np.zeros(B, bool)), opt.min_seed_len)
-    # vectorized post: one global mask + sort instead of a Python loop
-    # per read (the whole chunk's rows sort in one lexsort; overflow
-    # lanes are rare and redone scalar)
     MAXM = mem.shape[1]
     valid = (np.arange(MAXM)[None, :] < mem_n[:, None]) & ~ovf[:, None]
-    rid_of = np.repeat(np.arange(B), MAXM).reshape(B, MAXM)
     vm = valid.reshape(-1)
     flat = mem.reshape(-1, 5)[vm].astype(np.int64)
-    frid = rid_of.reshape(-1)[vm]
-    order = np.lexsort((flat[:, 4], flat[:, 3], frid))
-    flat = flat[order]
-    frid = frid[order]
-    counts = np.bincount(frid, minlength=B)
-    splits = np.cumsum(counts)[:-1]
-    per = np.split(flat, splits)
-    r1: List[np.ndarray] = []
-    for ri in range(B):
-        if ovf[ri]:
-            r1.append(_scalar_round1(opt, fmi, reads[ri],
-                                     int(lens_np[ri])))
-        else:
-            r1.append(per[ri])
-    # round-2 job selection, vectorized over the sorted flat rows
-    jsel = ((flat[:, 4] - flat[:, 3] >= split_len)
-            & (flat[:, 2] <= opt.split_width))
-    jobs = [(int(frid[i]), int((flat[i, 3] + flat[i, 4]) >> 1),
-             int(flat[i, 2]) + 1) for i in np.flatnonzero(jsel)]
+    frid = np.repeat(np.arange(B), MAXM)[vm]
+    blocks = [flat]
+    rids = [frid]
     for ri in np.flatnonzero(ovf):
-        for row in r1[ri]:
-            x0, x1, size, qb, qe = (int(v) for v in row)
-            if qe - qb < split_len or size > opt.split_width:
-                continue
-            jobs.append((int(ri), (qb + qe) >> 1, size + 1))
-    r2 = []
-    if jobs:
-        ja = np.asarray(jobs, np.int64)
-        mem2, mem2_n, ovf2 = run_smem_jobs(
-            didx, qd, ld,
-            (ja[:, 0].astype(np.int32), ja[:, 1].astype(np.int32),
-             ja[:, 2].astype(npdt), np.ones(len(jobs), bool)),
-            opt.min_seed_len)
-        for k, (ri, x, mi) in enumerate(jobs):
-            if ovf2[k]:
-                r2.append((ri, _scalar_reseed(opt, fmi, reads[ri],
-                                              int(lens_np[ri]), x, mi)))
-            else:
-                r2.append((ri, mem2[k, :int(mem2_n[k])]
-                           .astype(np.int64)))
-    return r1, r2
+        rows = _scalar_round1(opt, fmi, reads[ri], int(lens_np[ri]))
+        blocks.append(rows)
+        rids.append(np.full(len(rows), ri, np.int64))
+    r1_rows = np.concatenate(blocks) if len(blocks) > 1 else flat
+    r1_rids = np.concatenate(rids) if len(rids) > 1 else frid
+    # round-2 job selection, vectorized (the job SET is order-free:
+    # results are re-sorted globally by the caller)
+    jsel = ((r1_rows[:, 4] - r1_rows[:, 3] >= split_len)
+            & (r1_rows[:, 2] <= opt.split_width))
+    job_rid = r1_rids[jsel].astype(np.int32)
+    job_x = ((r1_rows[jsel, 3] + r1_rows[jsel, 4]) >> 1).astype(np.int32)
+    job_mi = (r1_rows[jsel, 2] + 1).astype(npdt)
+    if not len(job_rid):
+        return r1_rows, r1_rids
+    mem2, mem2_n, ovf2 = run_smem_jobs(
+        didx, qd, ld,
+        (job_rid, job_x, job_mi, np.ones(len(job_rid), bool)),
+        opt.min_seed_len)
+    valid2 = (np.arange(MAXM)[None, :] < mem2_n[:, None]) \
+        & ~ovf2[:, None]
+    vm2 = valid2.reshape(-1)
+    flat2 = mem2.reshape(-1, 5)[vm2].astype(np.int64)
+    frid2 = np.repeat(job_rid.astype(np.int64), MAXM)[vm2]
+    blocks = [r1_rows, flat2]
+    rids = [r1_rids, frid2]
+    for k in np.flatnonzero(ovf2):
+        rows = _scalar_reseed(opt, fmi, reads[int(job_rid[k])],
+                              int(lens_np[int(job_rid[k])]),
+                              int(job_x[k]), int(job_mi[k]))
+        blocks.append(rows)
+        rids.append(np.full(len(rows), int(job_rid[k]), np.int64))
+    return np.concatenate(blocks), np.concatenate(rids)
 
 
 def _scalar_round1(opt, fmi, read_row, l_seq):
@@ -358,7 +351,8 @@ def _scalar_reseed(opt, fmi, read_row, l_seq, x, min_intv):
 
 def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                         lens: np.ndarray, fmi=None,
-                        use_cursor: bool = True) -> List[np.ndarray]:
+                        use_cursor: bool = True,
+                        mode: str = None) -> List[np.ndarray]:
     """Full 3-round mem_collect_intv for a batch, device-accelerated.
     Returns per-read [n, 5] int64 (x0, x1, size, qb, qe) sorted by
     (qb, qe) — the contract of ref.smem.collect_intv.
@@ -368,9 +362,19 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     reach); lanes that overflow its stack/emission caps fall back to
     the scalar reference (needs ``fmi``).  Without an ``fmi`` the
     overflow fallback is unavailable, so the call degrades to the
-    all-starts reach path instead of crashing on repetitive input."""
-    if use_cursor and fmi is None:
-        use_cursor = False
+    all-starts reach path instead of crashing on repetitive input.
+
+    mode: 'split' (default; phase-split fwd/bwd machines —
+    smem_split.py, ~4x fewer occ gathers), 'cursor' (combined
+    machine), 'reach' (all-starts formulation).  TPUBWA_SEED_MODE
+    overrides."""
+    import os
+    if mode is None:
+        mode = os.environ.get("TPUBWA_SEED_MODE",
+                              "split" if use_cursor else "reach")
+    if mode != "reach" and fmi is None:
+        mode = "reach"
+    use_cursor = mode != "reach"
     B, L = reads.shape
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
     # one H2D of the chunk's codes (uint8: the link is slow), reused by
@@ -386,9 +390,19 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
         scan_fut = _seed_strategy_scan(didx, qd, ld,
                                        int(opt.min_seed_len),
                                        int(opt.max_mem_intv))
+    blocks = []
+    rids = []
     if use_cursor:
-        r1, r2 = _rounds12_cursor(opt, didx, qd, ld, lens_np, reads,
-                                  split_len, fmi)
+        if mode == "split":
+            from .smem_split import rounds12_split
+            rows12, rids12 = rounds12_split(opt, didx, qd, ld, lens_np,
+                                            reads, split_len, fmi)
+        else:
+            rows12, rids12 = _rounds12_cursor(opt, didx, qd, ld,
+                                              lens_np, reads,
+                                              split_len, fmi)
+        blocks.append(rows12)
+        rids.append(rids12)
     else:
         r1 = smems_round1(didx, qd, ld, opt.min_seed_len,
                           lens_np=lens_np)
@@ -400,18 +414,16 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                     continue
                 jobs.append((ri, (qb + qe) >> 1, size + 1))
         r2 = smems_reseed(didx, qd, ld, jobs, opt.min_seed_len)
+        for ri in range(B):
+            if len(r1[ri]):
+                blocks.append(np.asarray(r1[ri], np.int64))
+                rids.append(np.full(len(r1[ri]), ri, np.int64))
+        for ri, rows in r2:
+            if len(rows):
+                blocks.append(np.asarray(rows, np.int64))
+                rids.append(np.full(len(rows), ri, np.int64))
     # global merge: concatenate (rid, row) blocks from all three
     # rounds, ONE lexsort by (rid, qb, qe), split per read
-    blocks = []
-    rids = []
-    for ri in range(B):
-        if len(r1[ri]):
-            blocks.append(np.asarray(r1[ri], np.int64))
-            rids.append(np.full(len(r1[ri]), ri, np.int64))
-    for ri, rows in r2:
-        if len(rows):
-            blocks.append(np.asarray(rows, np.int64))
-            rids.append(np.full(len(rows), ri, np.int64))
     if scan_fut is not None:
         buf = np.asarray(scan_fut)
         hits = buf[:-B].reshape(B, -1, 5)
