@@ -1,0 +1,440 @@
+"""Independent re-transliteration oracles (VERDICT round-1 item 5).
+
+Each formula-critical function gets a SECOND, independently written
+implementation — derived from the upstream spec (SURVEY.md §3.1/§3.2
+anchors: bwamem.c:~1040 mem_approx_mapq_se, bwamem_pair.c:~60 pestat /
+~240 mem_pair, bwamem.c:~960 mem_mark_primary_se, bwt.c:~400
+bwt_smem1a) in a deliberately different style — and the production
+code is fuzzed against it.  A transcription slip in ref/ or host/
+would propagate silently to every layer (C++ port included); these
+oracles are the only defense in an environment without stock bwa.
+"""
+import math
+
+import numpy as np
+import pytest
+
+from tpubwa.host.regions import AlnReg, approx_mapq, hash_64, \
+    mark_primary
+from tpubwa.host.pair import PEStat, infer_dir, mem_pair, pestat
+from tpubwa.opts import MemOpt
+
+
+# ---------------------------------------------------------------- MAPQ
+def oracle_mapq(opt, score, sub_in, csub, qb, qe, rb, re, sub_n,
+                frac_rep):
+    """mem_approx_mapq_se re-derived from the SURVEY.md §3.1 C quote."""
+    sub = sub_in if sub_in else opt.min_seed_len * opt.a
+    sub = max(sub, csub)
+    if sub >= score:
+        return 0
+    l = max(qe - qb, re - rb)
+    identity = 1.0 - float(l * opt.a - score) / (opt.a + opt.b) / l
+    if score == 0:
+        return 0
+    if opt.mapQ_coef_len > 0:
+        tmp = 1.0 if l < opt.mapQ_coef_len \
+            else opt.mapQ_coef_fac / math.log(l)
+        tmp *= identity * identity
+        mapq = int(6.02 * (score - sub) / opt.a * tmp * tmp + 0.499)
+    else:
+        mapq = int(30.0 * (1.0 - float(sub) / score) + 0.499)
+        mapq = int(mapq * identity * identity + 0.499) \
+            if identity < 0.95 else mapq
+    if sub_n > 0:
+        mapq -= int(4.343 * math.log(sub_n + 1) + 0.499)
+    mapq = min(max(mapq, 0), 60)
+    return int(mapq * (1.0 - frac_rep) + 0.499)
+
+
+def test_mapq_vs_oracle():
+    rng = np.random.default_rng(0)
+    opt = MemOpt()
+    for _ in range(3000):
+        qb = int(rng.integers(0, 50))
+        qe = qb + int(rng.integers(19, 120))
+        rb = int(rng.integers(0, 1000))
+        re = rb + int(rng.integers(19, 140))
+        score = int(rng.integers(0, (qe - qb) + 20))
+        a = AlnReg(rb=rb, re=re, qb=qb, qe=qe, rid=0, score=score)
+        a.sub = int(rng.integers(0, score + 5)) \
+            if rng.random() < 0.7 else 0
+        a.csub = int(rng.integers(0, score + 5))
+        a.sub_n = int(rng.integers(0, 5))
+        a.frac_rep = float(rng.random()) if rng.random() < 0.5 else 0.0
+        want = oracle_mapq(opt, score, a.sub, a.csub, qb, qe, rb, re,
+                           a.sub_n, a.frac_rep)
+        assert approx_mapq(opt, a) == want, vars(a)
+
+
+# -------------------------------------------------------------- pestat
+def oracle_pestat(opt, l_pac, all_regs):
+    """mem_pestat re-derived: quartile bounds, avg/std inside
+    [q25-2iqr, q75+2iqr], mapping bounds 3*iqr widened to 4*std."""
+    buckets = [[] for _ in range(4)]
+    for k in range(0, len(all_regs) - 1, 2):
+        r0, r1 = all_regs[k], all_regs[k + 1]
+        if not r0 or not r1 or r0[0].rid != r1[0].rid:
+            continue
+        ok = True
+        for rr in (r0, r1):
+            # second hit overlapping the best by >= mask_level of the
+            # shorter one defines the "sub" score; pairs whose best is
+            # not >25% above it are ambiguous and skipped
+            sub = opt.min_seed_len * opt.a
+            for j in range(1, len(rr)):
+                lo = max(rr[j].qb, rr[0].qb)
+                hi = min(rr[j].qe, rr[0].qe)
+                if hi > lo and hi - lo >= opt.mask_level * min(
+                        rr[j].qe - rr[j].qb, rr[0].qe - rr[0].qb):
+                    sub = rr[j].score
+                    break
+            if sub > 0.8 * rr[0].score:
+                ok = False
+        if not ok:
+            continue
+        b1, b2 = r0[0].rb, r1[0].rb
+        rev1, rev2 = b1 >= l_pac, b2 >= l_pac
+        p2 = b2 if rev1 == rev2 else 2 * l_pac - 1 - b2
+        dist = abs(p2 - b1)
+        d = (0 if rev1 == rev2 else 1) ^ (0 if p2 > b1 else 3)
+        if dist and dist <= opt.max_ins:
+            buckets[d].append(dist)
+    out = []
+    for d in range(4):
+        q = np.sort(np.asarray(buckets[d], np.int64))
+        st = PEStat()
+        if len(q) < 10:
+            out.append(st)
+            continue
+        st.failed = 0
+        p25, p50, p75 = (int(q[int(f * len(q) + 0.499)])
+                         for f in (0.25, 0.50, 0.75))
+        iqr = p75 - p25
+        lo = max(int(p25 - 2.0 * iqr + 0.499), 1)
+        hi = int(p75 + 2.0 * iqr + 0.499)
+        sel = q[(q >= lo) & (q <= hi)]
+        st.avg = float(sel.mean())
+        st.std = float(np.sqrt(((sel - st.avg) ** 2).mean()))
+        st.low = int(p25 - 3.0 * iqr + 0.499)
+        st.high = int(p75 + 3.0 * iqr + 0.499)
+        st.low = min(st.low, int(st.avg - 4.0 * st.std + 0.499))
+        st.high = max(st.high, int(st.avg + 4.0 * st.std + 0.499))
+        st.low = max(st.low, 1)
+        out.append(st)
+    mx = max(len(b) for b in buckets)
+    for d in range(4):
+        if not out[d].failed and len(buckets[d]) < mx * 0.05:
+            out[d].failed = 1
+    return out
+
+
+def _mk_reg(rb, score, qb=0, qe=100, rid=0):
+    r = AlnReg(rb=rb, re=rb + (qe - qb), qb=qb, qe=qe, rid=rid,
+               score=score)
+    return r
+
+
+def test_pestat_vs_oracle():
+    rng = np.random.default_rng(1)
+    opt = MemOpt()
+    l_pac = 1_000_000
+    for trial in range(40):
+        n_pairs = int(rng.integers(5, 120))
+        all_regs = []
+        for _ in range(n_pairs):
+            pos = int(rng.integers(0, l_pac - 2000))
+            isize = int(rng.normal(400, 60))
+            fr = rng.random() < 0.9
+            r0 = [_mk_reg(pos, 100)]
+            if fr:
+                r1 = [_mk_reg(2 * l_pac - 1 - (pos + isize), 100)]
+            else:
+                r1 = [_mk_reg(pos + isize, 100)]
+            if rng.random() < 0.15:   # ambiguous second hit
+                r0.append(_mk_reg(pos + 50000, int(rng.integers(81, 100))))
+            if rng.random() < 0.1:    # unmapped end
+                r1 = []
+            all_regs.extend([r0, r1])
+        got = pestat(opt, l_pac, all_regs)
+        want = oracle_pestat(opt, l_pac, all_regs)
+        for d in range(4):
+            assert got[d].failed == want[d].failed, (trial, d)
+            if not got[d].failed:
+                assert (got[d].low, got[d].high) == \
+                    (want[d].low, want[d].high), (trial, d)
+                assert got[d].avg == pytest.approx(want[d].avg)
+                assert got[d].std == pytest.approx(want[d].std)
+
+
+# ------------------------------------------------------------ mem_pair
+class _StubAnn:
+    offset = 0
+    is_alt = 0
+    name = "c"
+
+
+class _StubBnt:
+    def __init__(self, l_pac):
+        self.l_pac = l_pac
+        self.anns = [_StubAnn()]
+
+
+class _StubFmi:
+    def __init__(self, l_pac):
+        self.bnt = _StubBnt(l_pac)
+
+
+def oracle_mem_pair(opt, l_pac, regs2, pair_id, n_pri, pes):
+    """Brute-force O(n^2) pair selection: enumerate every candidate
+    (hit0, hit1) whose orientation passed pestat and whose forward-
+    coordinate distance is inside [low, high]; score with the insert
+    log-likelihood; tie-break with the same hash."""
+    ents = []   # (fwd_key, score, idx, strand, readno)
+    for r in range(2):
+        for i in range(n_pri[r]):
+            e = regs2[r][i]
+            fx = e.rb if e.rb < l_pac else 2 * l_pac - 1 - e.rb
+            ents.append(((e.rid << 32) | fx, e.score, i,
+                         1 if e.rb >= l_pac else 0, r))
+    ents.sort(key=lambda t: (t[0], (t[1] << 32) | (t[2] << 2)
+                             | (t[3] << 1) | t[4]))
+    cands = []
+    for ii in range(len(ents)):
+        for kk in range(ii):
+            for rr in range(2):
+                # direction hypothesis: the earlier entry kk is the
+                # OTHER read end on strand rr; dire indexes pestat by
+                # (strand_kk << 1 | strand_ii)
+                dire = (rr << 1) | ents[ii][3]
+                if pes[dire].failed:
+                    continue
+                if (ents[kk][3], ents[kk][4]) != (rr, ents[ii][4] ^ 1):
+                    continue
+                dist = ents[ii][0] - ents[kk][0]
+                if not (pes[dire].low <= dist <= pes[dire].high):
+                    continue
+                p = 0.0
+                if pes[dire].std > 0:
+                    ns = (dist - pes[dire].avg) / pes[dire].std
+                    p = 2.0 * math.erfc(abs(ns) / math.sqrt(2.0))
+                q = 0
+                if p > 0:
+                    q = max(int(ents[ii][1] + ents[kk][1]
+                                + 0.721 * math.log(p) * opt.a + 0.499),
+                            0)
+                y = (kk << 32) | ii
+                tie = hash_64((y ^ (pair_id << 8))
+                              & 0xFFFFFFFFFFFFFFFF) & 0xFFFFFFFF
+                cands.append(((q << 32) | tie, kk, ii))
+    if not cands:
+        return 0, 0, 0, [-1, -1]
+    cands.sort()
+    _, bk, bi = cands[-1]
+    z = [-1, -1]
+    z[ents[bk][4]] = ents[bk][2]
+    z[ents[bi][4]] = ents[bi][2]
+    o = cands[-1][0] >> 32
+    sub = cands[-2][0] >> 32 if len(cands) > 1 else 0
+    thr = max(opt.a + opt.b, opt.o_del + opt.e_del,
+              opt.o_ins + opt.e_ins)
+    n_sub = sum(1 for c in cands[:-1] if sub - (c[0] >> 32) <= thr)
+    return o, sub, n_sub, z
+
+
+def test_mem_pair_vs_oracle():
+    rng = np.random.default_rng(3)
+    opt = MemOpt()
+    l_pac = 500_000
+    fmi = _StubFmi(l_pac)
+    pes = [PEStat() for _ in range(4)]
+    pes[1].failed = 0
+    pes[1].low, pes[1].high = 100, 800
+    pes[1].avg, pes[1].std = 400.0, 60.0
+    pes[2].failed = 0
+    pes[2].low, pes[2].high = 120, 700
+    pes[2].avg, pes[2].std = 380.0, 55.0
+    n_paired = 0
+    for trial in range(400):
+        regs2 = ([], [])
+        # anchor hits for end 0 (fwd), correlated candidates for end 1
+        # at FR-plausible distances so pairing/sub/n_sub paths fire
+        anchors = []
+        for i in range(int(rng.integers(1, 4))):
+            pos = int(rng.integers(1000, l_pac - 2000))
+            anchors.append(pos)
+            regs2[0].append(_mk_reg(pos, int(rng.integers(50, 120))))
+        for i in range(int(rng.integers(1, 5))):
+            if anchors and rng.random() < 0.75:
+                pos = anchors[int(rng.integers(0, len(anchors)))] \
+                    + int(rng.integers(50, 900))
+                rb = 2 * l_pac - 1 - (pos + 100)  # reverse strand (FR)
+            else:
+                pos = int(rng.integers(0, l_pac - 1000))
+                rb = 2 * l_pac - 1 - (pos + 100) \
+                    if rng.integers(0, 2) else pos
+            regs2[1].append(_mk_reg(rb, int(rng.integers(50, 120))))
+        regs2[0].sort(key=lambda e: -e.score)
+        regs2[1].sort(key=lambda e: -e.score)
+        n_pri = [len(regs2[0]), len(regs2[1])]
+        got = mem_pair(opt, fmi, pes, regs2, trial, n_pri)
+        want = oracle_mem_pair(opt, l_pac, regs2, trial, n_pri, pes)
+        assert got == (want[0], want[1], want[2], want[3]), trial
+        if got[0] > 0:
+            n_paired += 1
+    assert n_paired > 100  # the scoring/tie-break path really ran
+
+
+# ---------------------------------------------------- primary marking
+def oracle_mark_primary(opt, regs_in, read_id):
+    """mem_mark_primary_se re-derived: greedy overlap clustering over
+    score-sorted regions; returns the (score, rb, qb, secondary,
+    secondary_all) tuples in final order."""
+    import copy
+    regs = copy.deepcopy(regs_in)
+    for i, r in enumerate(regs):
+        r.sub = r.alt_sc = 0
+        r.secondary = r.secondary_all = -1
+        r.hash = hash_64(read_id + i)
+    n_pri = sum(1 for r in regs if not r.is_alt)
+    regs.sort(key=lambda x: (-x.score, x.is_alt, x.hash))
+
+    def core(sub_regs, n):
+        thr = max(opt.a + opt.b, opt.o_del + opt.e_del,
+                  opt.o_ins + opt.e_ins)
+        kept = [0]
+        for i in range(1, n):
+            sec = -1
+            for j in kept:
+                lo = max(sub_regs[j].qb, sub_regs[i].qb)
+                hi = min(sub_regs[j].qe, sub_regs[i].qe)
+                if hi > lo and hi - lo >= opt.mask_level * min(
+                        sub_regs[i].qe - sub_regs[i].qb,
+                        sub_regs[j].qe - sub_regs[j].qb):
+                    if sub_regs[j].sub == 0:
+                        sub_regs[j].sub = sub_regs[i].score
+                    if sub_regs[j].score - sub_regs[i].score <= thr \
+                            and (sub_regs[j].is_alt
+                                 or not sub_regs[i].is_alt):
+                        sec = j
+                        break
+            if sec >= 0:
+                sub_regs[i].secondary = sec
+            else:
+                kept.append(i)
+
+    core(regs, len(regs))
+    for i, p in enumerate(regs):
+        p.secondary_all = i
+        if not p.is_alt and p.secondary >= 0 \
+                and regs[p.secondary].is_alt:
+            p.alt_sc = regs[p.secondary].score
+    if 0 <= n_pri < len(regs):
+        if n_pri > 0:
+            regs.sort(key=lambda x: (x.is_alt, -x.score, x.hash))
+        remap = {}
+        for i, r in enumerate(regs):
+            remap[r.secondary_all] = i
+        for r in regs:
+            if r.secondary >= 0:
+                r.secondary_all = remap[r.secondary]
+                if r.is_alt:
+                    r.secondary = 0x7FFFFFFF
+            else:
+                r.secondary_all = -1
+        if n_pri > 0:
+            for r in regs[:n_pri]:
+                r.sub = 0
+                r.secondary = -1
+            core(regs, n_pri)
+    else:
+        for r in regs:
+            r.secondary_all = r.secondary
+    return [(r.score, r.rb, r.qb, r.secondary, r.secondary_all, r.sub,
+             r.alt_sc) for r in regs]
+
+
+def test_mark_primary_vs_oracle():
+    rng = np.random.default_rng(4)
+    opt = MemOpt()
+    for trial in range(400):
+        regs = []
+        for i in range(int(rng.integers(1, 8))):
+            qb = int(rng.integers(0, 60))
+            qe = qb + int(rng.integers(20, 60))
+            r = AlnReg(rb=int(rng.integers(0, 10000)), re=0, qb=qb,
+                       qe=qe, rid=0, score=int(rng.integers(20, 100)))
+            r.re = r.rb + (qe - qb)
+            r.is_alt = int(rng.random() < 0.2)
+            regs.append(r)
+        want = oracle_mark_primary(opt, regs, trial)
+        mark_primary(opt, regs, trial)
+        got = [(r.score, r.rb, r.qb, r.secondary, r.secondary_all,
+                r.sub, r.alt_sc) for r in regs]
+        assert got == want, trial
+
+
+# ------------------------------------------------------- SMEM oracle
+def oracle_smems(text_doubled, q, min_len):
+    """Brute-force SMEM set via the right-maximal-reach rule: e(b) =
+    longest match of q[b:] present in the doubled text; SMEMs are the
+    [b, e(b)) with e(b-1) < e(b) (left-maximality), length-filtered.
+    Membership is plain substring search — no FM-index involved."""
+    hay = "".join(chr(65 + c) for c in text_doubled)
+    L = len(q)
+
+    def occurs(b, e):
+        if any(q[j] > 3 for j in range(b, e)):
+            return False
+        return "".join(chr(65 + int(c)) for c in q[b:e]) in hay
+
+    e_of = []
+    for b in range(L):
+        e = b
+        while e < L and occurs(b, e + 1):
+            e += 1
+        e_of.append(e)
+    out = set()
+    for b in range(L):
+        if e_of[b] > b and (b == 0 or e_of[b - 1] < e_of[b]) \
+                and e_of[b] - b >= min_len:
+            out.add((b, e_of[b]))
+    return out
+
+
+def test_smem1a_protocol_vs_bruteforce():
+    from tpubwa.index.fmindex import FMIndex
+    from tpubwa.index.build import BntSeq, SeqAnn
+    from tpubwa.ref.smem import smem1a
+    rng = np.random.default_rng(5)
+    for trial in range(6):
+        n = int(rng.integers(2000, 5000))
+        unit = rng.integers(0, 4, int(rng.integers(10, 30))) \
+            .astype(np.uint8)
+        codes = np.concatenate([
+            rng.integers(0, 4, n).astype(np.uint8), np.tile(unit, 5),
+            rng.integers(0, 4, 500).astype(np.uint8)])
+        bnt = BntSeq(l_pac=len(codes),
+                     anns=[SeqAnn(name="t", anno="", offset=0,
+                                  length=len(codes), n_ambs=0)],
+                     ambs=[], seed=11, codes=codes)
+        fmi = FMIndex.build(bnt)
+        text = bnt.doubled()
+        for _ in range(6):
+            start = int(rng.integers(0, len(codes) - 90))
+            q = text[start:start + 80].copy()
+            for _ in range(int(rng.integers(0, 5))):
+                q[int(rng.integers(0, 80))] = int(rng.integers(0, 5))
+            got = set()
+            x = 0
+            tmp = []
+            while x < len(q):
+                if q[x] < 4:
+                    x = smem1a(fmi, q, x, 1, 0, tmp)
+                    for m in tmp:
+                        if m.qe - m.qb >= 10:
+                            got.add((m.qb, m.qe))
+                else:
+                    x += 1
+            want = oracle_smems(text, q, 10)
+            assert got == want, (trial, start)
