@@ -45,6 +45,11 @@ class DeviceIndex:
     seq_len: int              # static
     pac_words: jnp.ndarray    # uint32 [ceil(l_pac/16)] packed fwd ref
     l_pac: int                # static
+    # text-position-sampled SA (bounded LF walk); mark_D == 0 when the
+    # index has no marks (stock-bwa load) -> geometric rank walk
+    mark_rows: jnp.ndarray = None   # uint32 [nb, 8]
+    sa_marked: jnp.ndarray = None   # idt [#marked]
+    mark_D: int = 0                 # static
 
     @property
     def idt(self):
@@ -57,16 +62,19 @@ class DeviceIndex:
 
     def tree_flatten(self):
         return ((self.occ_blocks, self.sa_sample, self.L2,
-                 self.pac_words),
-                (self.primary, self.seq_len, self.l_pac))
+                 self.pac_words, self.mark_rows, self.sa_marked),
+                (self.primary, self.seq_len, self.l_pac, self.mark_D))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        occ_blocks, sa_sample, L2, pac_words = children
-        primary, seq_len, l_pac = aux
+        (occ_blocks, sa_sample, L2, pac_words, mark_rows,
+         sa_marked) = children
+        primary, seq_len, l_pac, mark_D = aux
         return cls(occ_blocks=occ_blocks, sa_sample=sa_sample, L2=L2,
                    primary=primary, seq_len=seq_len,
-                   pac_words=pac_words, l_pac=l_pac)
+                   pac_words=pac_words, l_pac=l_pac,
+                   mark_rows=mark_rows, sa_marked=sa_marked,
+                   mark_D=mark_D)
 
     @classmethod
     def from_fmindex(cls, fmi: FMIndex, device=None) -> "DeviceIndex":
@@ -83,11 +91,19 @@ class DeviceIndex:
         pw = pack_bwt_words(fmi.bnt.codes)
         put = partial(jax.device_put, device=device)
         npdt = np.int32 if _fits_i32(int(fmi.seq_len)) else np.int64
+        D = int(getattr(fmi, "sa_mark_D", 0) or 0)
+        if D:
+            mark_rows = put(np.ascontiguousarray(fmi.sa_mark_rows))
+            sa_marked = put(np.asarray(fmi.sa_marked).astype(npdt))
+        else:
+            mark_rows = put(np.zeros((1, 8), np.uint32))
+            sa_marked = put(np.zeros(1, npdt))
         return cls(occ_blocks=put(blocks),
                    sa_sample=put(fmi.sa_sample.astype(npdt)),
                    L2=put(fmi.L2.astype(npdt)),
                    primary=int(fmi.primary), seq_len=int(fmi.seq_len),
-                   pac_words=put(pw), l_pac=int(fmi.bnt.l_pac))
+                   pac_words=put(pw), l_pac=int(fmi.bnt.l_pac),
+                   mark_rows=mark_rows, sa_marked=sa_marked, mark_D=D)
 
 
 _PATTERNS = np.array([0x00000000, 0x55555555, 0xAAAAAAAA, 0xFFFFFFFF],
@@ -222,10 +238,65 @@ def inv_psi(didx: DeviceIndex, k: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(k == didx.primary, 0, lf)
 
 
+def _mark_row(didx: DeviceIndex, k: jnp.ndarray):
+    """Gather the 8-lane mark row for conceptual rank k and return
+    (row, word, bitpos): word holds k's bit at position bitpos."""
+    row = didx.mark_rows[k >> 7]                     # [..., 8]
+    within = (k - ((k >> 7) << 7)).astype(I32)
+    wi = 1 + (within >> 5)
+    lanes = jnp.arange(8, dtype=I32)
+    w = jnp.sum(jnp.where(lanes == wi[..., None], row, U32(0)),
+                axis=-1, dtype=U32)
+    bp = (U32(31) - (within & 31).astype(U32))
+    return row, w, bp, within
+
+
+def _mark_bit(didx: DeviceIndex, k: jnp.ndarray) -> jnp.ndarray:
+    _, w, bp, _ = _mark_row(didx, k)
+    return ((w >> bp) & U32(1)).astype(I32)
+
+
+def _mark_index(didx: DeviceIndex, k: jnp.ndarray) -> jnp.ndarray:
+    """# of marked ranks before k (k itself marked) = index into
+    sa_marked."""
+    row, w, bp, within = _mark_row(didx, k)
+    words = row[..., 1:5]
+    wi = (within >> 5)
+    lanes4 = jnp.arange(4, dtype=I32)
+    full = jnp.sum(jnp.where(lanes4 < wi[..., None],
+                             jax.lax.population_count(words), U32(0)),
+                   axis=-1, dtype=U32)
+    # bits above bp in k's own word = marked ranks earlier in the word
+    above = jnp.where(bp >= U32(31), U32(0),
+                      (w >> (bp + U32(1))))
+    part = jax.lax.population_count(above)
+    base = row[..., 0]
+    return (base + full + part).astype(didx.idt)
+
+
 @partial(jax.jit, static_argnames=())
 def sa_lookup(didx: DeviceIndex, ranks: jnp.ndarray) -> jnp.ndarray:
-    """Batched bwt_sa: walk LF until a sampled rank (<= 31 steps)."""
+    """Batched bwt_sa.
+
+    With text-position marks (mark_D > 0): every walk terminates
+    within mark_D-1 LF steps (any D consecutive text positions hit a
+    multiple of D), so the lockstep loop is a FIXED fori_loop —
+    rank-sampled walks are geometric (mean 32, tail unbounded) and the
+    slowest of 1e4+ lanes used to force ~300 rounds."""
     ranks = ranks.astype(didx.idt)
+    if didx.mark_D:
+        def body(j, st):
+            k, steps, done = st
+            done = done | (_mark_bit(didx, k) == 1)
+            nk = inv_psi(didx, k)
+            k = jnp.where(done, k, nk)
+            steps = steps + (1 - done.astype(didx.idt))
+            return k, steps, done
+        k, steps, _ = jax.lax.fori_loop(
+            0, didx.mark_D - 1, body,
+            (ranks, jnp.zeros_like(ranks),
+             jnp.zeros(ranks.shape, bool)))
+        return steps + didx.sa_marked[_mark_index(didx, k)]
 
     def cond(state):
         k, steps = state

@@ -38,6 +38,50 @@ WORDS_PER_BLOCK = OCC_INTERVAL // 16
 SA_INTV = 32
 
 
+def build_sa_marks(sa: np.ndarray, D: int):
+    """Text-position-sampled SA structure.
+
+    bwa's .sa is RANK-sampled (value at every 32nd rank), which makes
+    the LF-walk length geometric (mean 32, unbounded tail) — a
+    lockstep device walk then runs ~32*ln(n_lanes) rounds for the
+    slowest lane.  Marking every D-th TEXT position instead bounds
+    every walk by D-1 steps exactly (any D consecutive text positions
+    contain a multiple of D).
+
+    Returns (mark_rows uint32[n_blocks, 8] — per 128 conceptual ranks:
+    [#marked before block, 4 bit-words (rank r at word (r&127)>>5 bit
+    31-(r&31)), 3 pad], marked_vals int64[#marked] — SA values of
+    marked ranks in rank order; rank 0 (sentinel) is always marked
+    with bwa's -1 convention)."""
+    n1 = len(sa)  # n + 1 conceptual ranks
+    marked = (sa % D) == 0
+    marked[0] = True
+    vals = sa[marked].astype(np.int64)
+    # rank 0 keeps the -1 sentinel convention of sa_sample[0]
+    vals[0] = -1
+    nb = (n1 + 127) // 128
+    bits = np.zeros(nb * 4, np.uint32)
+    r = np.flatnonzero(marked)
+    w = (r >> 5)
+    b = np.uint32(31) - (r & 31).astype(np.uint32)
+    np.bitwise_or.at(bits, w, np.uint32(1) << b)
+    rows = np.zeros((nb, 8), np.uint32)
+    rows[:, 1:5] = bits.reshape(nb, 4)
+    cnt = np.zeros(nb, np.int64)
+    pb = np.zeros(nb * 128, bool)
+    pb[:n1] = marked
+    np.cumsum(pb.reshape(nb, 128).sum(axis=1), out=cnt)
+    rows[1:, 0] = cnt[:-1].astype(np.uint32)
+    return rows, vals
+
+
+def pick_sa_mark_D(n: int) -> int:
+    """Sampling stride: walks bounded by D-1; denser for small
+    genomes, sparser at human scale to bound memory (marked values
+    are n/D entries)."""
+    return 8 if n < (1 << 31) else 32
+
+
 def pack_bwt_words(stored: np.ndarray) -> np.ndarray:
     """Pack 0..3 codes 16-per-uint32, first base in the top bits.
     Slab-wise: uint32 temporaries are 4x the text and spike the peak
@@ -94,6 +138,11 @@ class FMIndex:
     occ_ckpt: np.ndarray  # uint32[n_blocks+1, 4]
     sa_sample: np.ndarray  # int64[n//32 + 1]
     bnt: BntSeq
+    # text-position-sampled SA (device fast path; absent for indexes
+    # loaded from stock bwa files — the rank-walk still works there)
+    sa_mark_D: int = 0
+    sa_mark_rows: np.ndarray = None   # uint32[nb, 8]
+    sa_marked: np.ndarray = None      # int64[#marked]
 
     # ------------------------------------------------------------------
     @classmethod
@@ -107,11 +156,15 @@ class FMIndex:
         L2[1:] = np.cumsum(counts)
         samples = sa[::SA_INTV].astype(np.int64).copy()
         samples[0] = -1  # bwa convention (rank 0 = sentinel row)
+        D = pick_sa_mark_D(n)
+        mark_rows, marked_vals = build_sa_marks(sa, D)
         del sa  # 8n bytes — free before the packing passes
         return cls(seq_len=n, primary=primary, L2=L2,
                    bwt_words=pack_bwt_words(stored),
                    occ_ckpt=build_occ_ckpt(stored),
-                   sa_sample=samples, bnt=bnt)
+                   sa_sample=samples, bnt=bnt,
+                   sa_mark_D=D, sa_mark_rows=mark_rows,
+                   sa_marked=marked_vals)
 
     @classmethod
     def from_fasta(cls, path: str, seed: int = 11) -> "FMIndex":
@@ -187,11 +240,17 @@ class FMIndex:
             "anns": [vars(a) for a in self.bnt.anns],
             "ambs": [vars(h) for h in self.bnt.ambs],
         }
+        extra = {}
+        if self.sa_mark_D:
+            meta["sa_mark_D"] = self.sa_mark_D
+            extra = dict(sa_mark_rows=self.sa_mark_rows,
+                         sa_marked=self.sa_marked)
         np.savez(prefix + ".tpubwa.npz",
                  L2=self.L2, bwt_words=self.bwt_words,
                  occ_ckpt=self.occ_ckpt, sa_sample=self.sa_sample,
                  pac=pack_pac(self.bnt.codes),
-                 meta=np.frombuffer(json.dumps(meta).encode(), np.uint8))
+                 meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
+                 **extra)
 
     @classmethod
     def load(cls, prefix: str) -> "FMIndex":
@@ -207,7 +266,12 @@ class FMIndex:
         )
         return cls(seq_len=meta["seq_len"], primary=meta["primary"],
                    L2=z["L2"], bwt_words=z["bwt_words"],
-                   occ_ckpt=z["occ_ckpt"], sa_sample=z["sa_sample"], bnt=bnt)
+                   occ_ckpt=z["occ_ckpt"], sa_sample=z["sa_sample"],
+                   bnt=bnt, sa_mark_D=meta.get("sa_mark_D", 0),
+                   sa_mark_rows=(z["sa_mark_rows"]
+                                 if "sa_mark_rows" in z.files else None),
+                   sa_marked=(z["sa_marked"]
+                              if "sa_marked" in z.files else None))
 
     # ---------------- shared-memory style cache (bwashm.c analogue) ----
     def save_shm(self, prefix: str) -> None:
@@ -225,12 +289,18 @@ class FMIndex:
             "anns": [vars(a) for a in self.bnt.anns],
             "ambs": [vars(h) for h in self.bnt.ambs],
         }
+        if self.sa_mark_D:
+            meta["sa_mark_D"] = self.sa_mark_D
         with open(os.path.join(d, "meta.json"), "w") as fh:
             json.dump(meta, fh)
-        for name, arr in (("L2", self.L2), ("bwt_words", self.bwt_words),
-                          ("occ_ckpt", self.occ_ckpt),
-                          ("sa_sample", self.sa_sample),
-                          ("codes", self.bnt.codes)):
+        arrays = [("L2", self.L2), ("bwt_words", self.bwt_words),
+                  ("occ_ckpt", self.occ_ckpt),
+                  ("sa_sample", self.sa_sample),
+                  ("codes", self.bnt.codes)]
+        if self.sa_mark_D:
+            arrays += [("sa_mark_rows", self.sa_mark_rows),
+                       ("sa_marked", self.sa_marked)]
+        for name, arr in arrays:
             np.save(os.path.join(d, name + ".npy"),
                     np.ascontiguousarray(arr))
 
@@ -250,10 +320,13 @@ class FMIndex:
             seed=meta["seed"],
             codes=ld("codes"),
         )
+        D = meta.get("sa_mark_D", 0)
         return cls(seq_len=meta["seq_len"], primary=meta["primary"],
                    L2=np.asarray(ld("L2")), bwt_words=ld("bwt_words"),
                    occ_ckpt=ld("occ_ckpt"), sa_sample=ld("sa_sample"),
-                   bnt=bnt)
+                   bnt=bnt, sa_mark_D=D,
+                   sa_mark_rows=ld("sa_mark_rows") if D else None,
+                   sa_marked=ld("sa_marked") if D else None)
 
     # ---------------- bwa on-disk interop (bwtindex.c layout) ----------
     def save_bwa(self, prefix: str) -> None:

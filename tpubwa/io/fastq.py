@@ -38,15 +38,102 @@ def encode_seq(seq: bytes) -> np.ndarray:
     return _NT4[np.frombuffer(seq, dtype=np.uint8)].copy()
 
 
-class FastqReader:
-    """Streaming FASTQ/FASTA parser (auto-detected per record)."""
+class _NativeBackend:
+    """Buffered record source over the C batch parser (fastq.cpp).
+    Pulls ~4 MB of records per call; per-record work in Python is one
+    Read construction over blob views."""
+
+    # batch sizing: big enough to amortize the call, small enough to
+    # keep latency/memory modest
+    MAX_REC = 16384
+    SEQ_CAP = 4 << 20
+    STR_CAP = 2 << 20
 
     def __init__(self, path: str):
-        self.fh = _open(path)
+        import ctypes
+        from ..native import load_fastq
+        self.lib = load_fastq()
+        self.h = self.lib.tpubwa_fq_open(str(path).encode())
+        if not self.h:
+            raise OSError(f"cannot open {path}")
+        self.ct = ctypes
+        self.seq_buf = np.empty(self.SEQ_CAP, np.uint8)
+        self.name_buf = self.ct.create_string_buffer(self.STR_CAP)
+        self.qual_buf = self.ct.create_string_buffer(self.SEQ_CAP)
+        self.comm_buf = self.ct.create_string_buffer(self.STR_CAP)
+        self.offs = [np.zeros(self.MAX_REC + 1, np.int64)
+                     for _ in range(4)]
+        self.flags = np.zeros(self.MAX_REC, np.uint8)
+
+    def fill(self) -> List["Read"]:
+        ct = self.ct
+        i64p = ct.POINTER(ct.c_int64)
+        u8p = ct.POINTER(ct.c_uint8)
+        so, no, qo, co = self.offs
+        n = self.lib.tpubwa_fq_read_batch(
+            self.h, self.MAX_REC, self.SEQ_CAP - 65536,
+            self.seq_buf.ctypes.data_as(u8p), self.SEQ_CAP,
+            so.ctypes.data_as(i64p),
+            self.name_buf, self.STR_CAP, no.ctypes.data_as(i64p),
+            self.qual_buf, self.SEQ_CAP, qo.ctypes.data_as(i64p),
+            self.comm_buf, self.STR_CAP, co.ctypes.data_as(i64p),
+            self.flags.ctypes.data_as(u8p))
+        if n < 0:
+            raise ValueError("malformed FASTQ/FASTA record")
+        if n == 0:
+            return []
+        # one bulk decode per blob (a per-record bytes.decode costs
+        # ~100 ns of overhead each), and views into a freshly
+        # allocated seq buffer instead of per-record copies — the
+        # buffer is retired here so the views stay valid
+        names = self.name_buf.raw[:no[n]].decode()
+        quals = self.qual_buf.raw[:qo[n]].decode()
+        comms = self.comm_buf.raw[:co[n]].decode()
+        sb, fl = self.seq_buf, self.flags
+        self.seq_buf = np.empty(self.SEQ_CAP, np.uint8)
+        has_comm = co[n] > 0
+        return [Read(
+            name=names[no[i]:no[i + 1]],
+            seq=sb[so[i]:so[i + 1]],
+            qual=(quals[qo[i]:qo[i + 1]] if fl[i] else None),
+            comment=comms[co[i]:co[i + 1]] if has_comm else "")
+            for i in range(n)]
+
+    def close(self):
+        if self.h:
+            self.lib.tpubwa_fq_close(self.h)
+            self.h = None
+
+
+class FastqReader:
+    """Streaming FASTQ/FASTA parser.  Uses the native (C, zlib) batch
+    parser when buildable — the reference spends ~550 lines of C on
+    this (kseq.h + kopen.c) because record decode starves the
+    accelerator otherwise; TPUBWA_NO_NATIVE_IO=1 forces the Python
+    line parser."""
+
+    def __init__(self, path: str):
+        import os
+        self._native = None
+        self._queue: List[Read] = []
+        self._qpos = 0
+        self.fh = None
+        if not os.environ.get("TPUBWA_NO_NATIVE_IO"):
+            try:
+                self._native = _NativeBackend(path)
+            except OSError:
+                raise FileNotFoundError(path)
+            except Exception:
+                self._native = None
+        if self._native is None:
+            self.fh = _open(path)
         self._peek: Optional[bytes] = None
 
     def close(self):
-        self.fh.close()
+        if self._native is not None:
+            self._native.close()
+        if self.fh is not None:
+            self.fh.close()
 
     def _readline(self) -> bytes:
         if self._peek is not None:
@@ -63,6 +150,15 @@ class FastqReader:
         return self
 
     def __next__(self) -> Read:
+        if self._native is not None:
+            if self._qpos >= len(self._queue):
+                self._queue = self._native.fill()
+                self._qpos = 0
+                if not self._queue:
+                    raise StopIteration
+            r = self._queue[self._qpos]
+            self._qpos += 1
+            return r
         while True:
             line = self._readline()
             if not line:
@@ -70,11 +166,28 @@ class FastqReader:
             line = line.rstrip()
             if line:
                 break
-        if line.startswith(b"@"):  # FASTQ
+        if line.startswith(b"@"):  # FASTQ (multi-line seq/qual, kseq)
             hdr = line[1:].split(None, 1)
-            seq = self._readline().rstrip()
-            plus = self._readline()
-            qual = self._readline().rstrip()
+            seq_parts: List[bytes] = []
+            while True:
+                ln = self._readline()
+                if not ln or ln.startswith(b"+"):
+                    break
+                seq_parts.append(ln.rstrip())
+            seq = b"".join(seq_parts)
+            qual_parts: List[bytes] = []
+            qlen = 0
+            while qlen < len(seq):
+                ln = self._readline()
+                if not ln:
+                    break
+                ln = ln.rstrip()
+                qual_parts.append(ln)
+                qlen += len(ln)
+            qual = b"".join(qual_parts)
+            if qual and len(qual) != len(seq):
+                raise ValueError(
+                    f"FASTQ qual length {len(qual)} != seq {len(seq)}")
             return Read(name=hdr[0].decode(), seq=encode_seq(seq),
                         qual=qual.decode() if qual else None,
                         comment=hdr[1].decode() if len(hdr) > 1 else "")

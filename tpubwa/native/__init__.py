@@ -100,6 +100,42 @@ def load_ksw():
     return _ksw_lib
 
 
+_fastq_lib = None
+
+
+def load_fastq():
+    """ctypes handle to the native FASTQ/FASTA batch reader
+    (fastq.cpp); raises on build failure — callers treat any exception
+    as 'use the Python parser'."""
+    global _fastq_lib
+    if _fastq_lib is None:
+        src = _DIR / "fastq.cpp"
+        code = src.read_bytes()
+        h = hashlib.sha256(code).hexdigest()[:16]
+        _CACHE.mkdir(parents=True, exist_ok=True)
+        so = _CACHE / f"fastq-{h}.so"
+        if not so.exists():
+            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                   "-std=c++17", str(src), "-lz", "-o", str(so) + ".tmp"]
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(str(so) + ".tmp", so)
+        lib = ctypes.CDLL(str(so))
+        lib.tpubwa_fq_open.restype = ctypes.c_void_p
+        lib.tpubwa_fq_open.argtypes = [ctypes.c_char_p]
+        lib.tpubwa_fq_close.argtypes = [ctypes.c_void_p]
+        i64 = ctypes.c_int64
+        i64p = ctypes.POINTER(i64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        cp = ctypes.c_char_p
+        lib.tpubwa_fq_read_batch.restype = i64
+        lib.tpubwa_fq_read_batch.argtypes = [
+            ctypes.c_void_p, i64, i64,
+            u8p, i64, i64p, cp, i64, i64p, cp, i64, i64p,
+            cp, i64, i64p, u8p]
+        _fastq_lib = lib
+    return _fastq_lib
+
+
 _bwacore_lib = None
 
 
