@@ -152,15 +152,13 @@ class DataParallel:
         return ((n + m - 1) // m) * m
 
     def replicate_index(self, didx):
-        """DeviceIndex with every array replicated over the mesh."""
-        from ..device.occ import DeviceIndex
-        return DeviceIndex(
-            occ_blocks=self.replicated(didx.occ_blocks),
-            sa_sample=self.replicated(didx.sa_sample),
-            L2=self.replicated(didx.L2),
-            primary=didx.primary, seq_len=didx.seq_len,
-            pac_words=self.replicated(didx.pac_words),
-            l_pac=didx.l_pac)
+        """DeviceIndex with every array replicated over the mesh.
+        Built generically from the pytree so new index arrays can't be
+        silently dropped."""
+        import jax.tree_util as jtu
+        children, aux = didx.tree_flatten()
+        return type(didx).tree_unflatten(
+            aux, tuple(self.replicated(c) for c in children))
 
     def shard_map_extend(self, tmax: int, a: int, b: int, o_del: int,
                          e_del: int, o_ins: int, e_ins: int, zdrop: int,

@@ -135,6 +135,18 @@ class FastqReader:
         if self.fh is not None:
             self.fh.close()
 
+    def seek_raw(self, offset: int) -> None:
+        """Jump to a DECOMPRESSED byte offset that is a record
+        boundary (shard sidecar checkpoints).  gzip decompresses
+        forward; plain files seek directly."""
+        self._queue, self._qpos, self._peek = [], 0, None
+        if self._native is not None:
+            if self._native.lib.tpubwa_fq_seek(self._native.h,
+                                               offset) != 0:
+                raise OSError(f"seek({offset}) failed")
+            return
+        self.fh.seek(offset)
+
     def _readline(self) -> bytes:
         if self._peek is not None:
             line, self._peek = self._peek, None

@@ -132,6 +132,8 @@ def load_fastq():
             ctypes.c_void_p, i64, i64,
             u8p, i64, i64p, cp, i64, i64p, cp, i64, i64p,
             cp, i64, i64p, u8p]
+        lib.tpubwa_fq_seek.restype = i64
+        lib.tpubwa_fq_seek.argtypes = [ctypes.c_void_p, i64]
         _fastq_lib = lib
     return _fastq_lib
 

@@ -161,6 +161,21 @@ void tpubwa_fq_close(void* h) {
     delete r;
 }
 
+// Seek to a DECOMPRESSED byte offset (must be a record boundary).
+// For plain files this is an lseek; for gz, zlib inflates forward
+// (~300 MB/s) — still far cheaper than parsing records.  Returns 0
+// on success.
+i64 tpubwa_fq_seek(void* h, i64 off) {
+    Reader* r = (Reader*)h;
+    if (gzseek(r->in.f, (z_off_t)off, SEEK_SET) < 0) return -1;
+    r->in.len = r->in.pos = 0;
+    r->in.eof = false;
+    r->have_line = false;
+    r->have_pending = false;
+    r->error = false;
+    return 0;
+}
+
 i64 tpubwa_fq_read_batch(void* h, i64 max_records, i64 max_bases,
                          u8* seq_buf, i64 seq_cap, i64* seq_off,
                          char* name_buf, i64 name_cap, i64* name_off,
