@@ -1,13 +1,16 @@
 #!/usr/bin/env python
 """tpubwa benchmark — run on the real TPU chip by the round driver.
 
-Measures end-to-end paired-end alignment throughput (the BASELINE.json
-headline: reads/sec/chip, 100bp PE) on a synthetic bacterial-scale
-genome, plus the raw Pallas extension-kernel GCUPS (printed to stderr).
+Headline: end-to-end paired-end alignment throughput at CHR20 SCALE
+(64 Mbp synthetic genome; BASELINE.json's metric is "reads/sec/chip,
+100bp PE, GRCh38" and small-genome numbers flatter the occ-gather
+locality by ~2.5x — VERDICT round-1 item 2).  The index is cached
+under ~/.cache/tpubwa-bench and reused across runs; the first run
+pays a one-time build (~90 s).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "reads/s",
-   "vs_baseline": N / 160000}
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N/160000,
+   "selection": "median-of-k", "attempts": [...], "gcups": N}
 vs_baseline divides by the stock bwa-mem 32-core Xeon estimate from
 SURVEY.md §6 (~1.6e5 reads/s); the BASELINE target is >= 1.5x => 240k.
 """
@@ -22,27 +25,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_READS_PER_S = 160_000.0  # 32-core Xeon stock bwa-mem (SURVEY §6)
+GENOME_MB = 64
+CACHE = os.path.join(os.path.expanduser("~"), ".cache", "tpubwa-bench")
 
 
-def build_index(tmpdir, genome_len=1_000_000, seed=3):
+def cached_index(log, genome_mb=GENOME_MB, seed=3):
     from tpubwa.index import FMIndex
     from tpubwa.index.build import BntSeq, SeqAnn
+    os.makedirs(CACHE, exist_ok=True)
+    prefix = os.path.join(CACHE, f"idx{genome_mb}m")
+    if os.path.exists(prefix + ".tpubwa.npz"):
+        t0 = time.time()
+        fmi = FMIndex.load(prefix)
+        log(f"[bench] index cache hit: {fmi.seq_len} doubled, "
+            f"{time.time() - t0:.1f}s")
+        return fmi
+    n = genome_mb * 1_000_000
     rng = np.random.default_rng(seed)
-    codes = rng.integers(0, 4, genome_len).astype(np.uint8)
-    bnt = BntSeq(l_pac=genome_len,
-                 anns=[SeqAnn(name="chrB", anno="", offset=0,
-                              length=genome_len, n_ambs=0)],
+    codes = rng.integers(0, 4, n).astype(np.uint8)
+    bnt = BntSeq(l_pac=n, anns=[SeqAnn(name="chrS", anno="", offset=0,
+                                       length=n, n_ambs=0)],
                  ambs=[], seed=11, codes=codes)
-    return FMIndex.build(bnt), codes
+    t0 = time.time()
+    fmi = FMIndex.build(bnt)
+    log(f"[bench] index built: {n} bp in {time.time() - t0:.1f}s "
+        f"(one-time; cached)")
+    try:
+        fmi.save(prefix)
+    except OSError:
+        pass
+    return fmi
 
 
-def simulate(codes, n_pairs, read_len, rng):
+def simulate(fmi, n_pairs, read_len, rng):
     from tpubwa.io.fastq import Read
+    codes = fmi.bnt.codes
     reads = []
     L = len(codes)
+    isizes = np.maximum(rng.normal(350, 30, n_pairs).astype(int),
+                        read_len * 2 + 10)
+    poss = rng.integers(0, L - 1000, n_pairs)
     for i in range(n_pairs):
-        isize = max(int(rng.normal(350, 30)), read_len * 2 + 10)
-        pos = int(rng.integers(0, L - isize - 2))
+        isize, pos = int(isizes[i]), int(poss[i])
         r1 = codes[pos:pos + read_len].copy()
         r2 = (3 - codes[pos + isize - read_len:pos + isize])[::-1].copy()
         for r in (r1, r2):
@@ -79,7 +103,7 @@ def kernel_gcups(log):
     for _ in range(reps):
         r = extend_batch_pallas(qj, tj, pj, 1, 4, 6, 1, 6, 1, 100,
                                 TMAX, interp)
-    r.block_until_ready()
+    np.asarray(r)  # D2H sync (block_until_ready is unreliable on axon)
     dt = (time.perf_counter() - t0) / reps
     gcups = N * QL * TL / dt / 1e9
     log(f"[bench] extension kernel: {dt * 1e3:.2f} ms / {N} jobs "
@@ -88,17 +112,13 @@ def kernel_gcups(log):
 
 
 def _attempt(log):
-
     t_all = time.time()
     from tpubwa.utils import enable_compilation_cache
     enable_compilation_cache()
     from tpubwa.opts import MEM_F_PE, MemOpt
     from tpubwa.host.pipeline import process_batches, process_seqs
 
-    fmi, codes = build_index("/tmp")
-    log(f"[bench] index built: {fmi.seq_len} bp doubled, "
-        f"{time.time() - t_all:.1f}s")
-
+    fmi = cached_index(log)
     opt = MemOpt(flag=MEM_F_PE)
     rng = np.random.default_rng(1)
     gcups = 0.0
@@ -110,20 +130,17 @@ def _attempt(log):
         log(f"[bench] device unavailable ({e}); scalar path")
         aligner = None
 
-    # warmup: same batch size as the measurement so every device
-    # program shape (seeding chunk, SA walk, fused extension waves)
-    # compiles before the timed run
-    warm = simulate(codes, 4096, 100, rng)
+    # warmup: same chunk shapes as the measurement so every device
+    # program compiles before the timed run
+    warm = simulate(fmi, 4096, 100, rng)
     t0 = time.time()
     process_seqs(opt, fmi, warm, 0, align_fn=aligner)
     log(f"[bench] warmup batch (compiles): {time.time() - t0:.1f}s")
 
-    # measurement: 4 batches streamed through the 3-stage pipeline
-    # (align batch i+1 overlaps pairing/emit of batch i, as in a real
-    # `tpubwa mem` run)
-    n_pairs = 16000
-    batches = [simulate(codes, n_pairs // 2, 100, rng)
-               for _ in range(2)]
+    # measurement: batches streamed through the 3-stage pipeline
+    # (align batch i+1 overlaps pairing/emit of batch i)
+    n_pairs = 16384
+    batches = [simulate(fmi, n_pairs // 2, 100, rng) for _ in range(2)]
     n_reads = sum(len(b) for b in batches)
     t0 = time.perf_counter()
     n_lines = 0
@@ -133,17 +150,21 @@ def _attempt(log):
     dt = time.perf_counter() - t0
     reads_per_s = n_reads / dt
     log(f"[bench] {n_reads} PE reads in {dt:.2f}s "
-        f"({reads_per_s:.0f} reads/s), {n_lines} SAM records, "
-        f"total wall {time.time() - t_all:.0f}s")
-    return reads_per_s
+        f"({reads_per_s:.0f} reads/s, {GENOME_MB} Mb genome), "
+        f"{n_lines} SAM records, total wall {time.time() - t_all:.0f}s")
+    return reads_per_s, gcups
 
 
-def _emit(reads_per_s: float) -> None:
+def _emit(value, attempts, gcups):
     print(json.dumps({
-        "metric": "reads/sec/chip (100bp PE, synthetic 1Mb genome)",
-        "value": round(reads_per_s, 1),
+        "metric": f"reads/sec/chip (100bp PE, chr20-scale "
+                  f"{GENOME_MB}Mb synthetic genome)",
+        "value": round(value, 1),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 4),
+        "vs_baseline": round(value / BASELINE_READS_PER_S, 4),
+        "selection": f"median-of-{len(attempts)}",
+        "attempts": [round(a, 1) for a in attempts],
+        "gcups": round(gcups, 1),
     }), flush=True)
 
 
@@ -152,20 +173,18 @@ def main():
         print(msg, file=sys.stderr, flush=True)
 
     if "--inner" in sys.argv:
-        _emit(_attempt(log))
+        r, g = _attempt(log)
+        print(json.dumps({"reads_per_s": r, "gcups": g}), flush=True)
         return
     # The tunneled TPU worker occasionally crashes mid-run (poisoning
-    # the in-process backend) and its throughput swings ~±15% with
-    # shared-infra load — run attempts in subprocesses and report the
-    # best of two successful runs (retries reuse the persistent
-    # compile cache, so they are cheap).
+    # the in-process backend) and throughput swings ~±15% with shared
+    # infra load — run attempts in subprocesses; report the MEDIAN of
+    # successes with every attempt recorded in the JSON.
     import subprocess
     results = []
     attempts = 0
     t_start = time.time()
-    while attempts < 4 and len(results) < 2:
-        # respect an outer driver timeout: skip extra attempts once
-        # ~4 minutes have elapsed
+    while attempts < 5 and len(results) < 3:
         if results and time.time() - t_start > 240:
             break
         attempts += 1
@@ -177,12 +196,15 @@ def main():
             results.append(json.loads(out[-1]))
         else:
             log(f"[bench] attempt {attempts} failed (rc={r.returncode})")
-            time.sleep(60)
+            time.sleep(30)
     if results:
-        print(json.dumps(max(results, key=lambda r: r["value"])),
-              flush=True)
+        vals = sorted(r["reads_per_s"] for r in results)
+        med = vals[len(vals) // 2] if len(vals) % 2 else \
+            0.5 * (vals[len(vals) // 2 - 1] + vals[len(vals) // 2])
+        _emit(med, [r["reads_per_s"] for r in results],
+              max(r["gcups"] for r in results))
     else:
-        _emit(0.0)
+        _emit(0.0, [], 0.0)
 
 
 if __name__ == "__main__":

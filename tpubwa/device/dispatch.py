@@ -30,10 +30,12 @@ class WaveExtender:
 
     def __init__(self, opt: MemOpt, mat: np.ndarray, qmax: int = 255,
                  tmax: int = 512, batch_fn: Optional[Callable] = None,
-                 use_pallas: bool = True, fused: bool = False):
+                 use_pallas: bool = True, fused: bool = False,
+                 mesh=None):
         # qmax default = Pallas LANES-1: at 256 the kernel adapters
         # would silently reject every job to the scalar fallback
         self.opt = opt
+        self.mesh = mesh
         self.mat = np.asarray(mat, np.int32)
         self.qmax = qmax
         self.tmax = tmax
@@ -159,7 +161,7 @@ class WaveExtender:
                 rows = extend_seed_desc_np(
                     didx, qd, jobs, self.mat, self.opt.o_del,
                     self.opt.e_del, self.opt.o_ins, self.opt.e_ins,
-                    self.opt.zdrop, self.tmax)
+                    self.opt.zdrop, self.tmax, mesh=self.mesh)
             else:
                 rows = self.batch_fn(jobs)
             nxt = []

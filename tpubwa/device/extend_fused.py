@@ -119,17 +119,8 @@ def _ref_codes(didx, pos):
     return jnp.where(rev, 3 - c, c)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("a", "b", "o_del", "e_del", "o_ins", "e_ins",
-                     "zdrop", "W", "tmax", "interpret"))
-def extend_seed_desc(didx, qreads, desc, a, b, o_del, e_del, o_ins,
-                     e_ins, zdrop, W, tmax, interpret=False):
-    """Descriptor-mode fused extension: tiles are built ON DEVICE.
-
-    qreads: uint8 [B, L] resident chunk reads; desc idt [N, 11]:
-    (read_row, qbeg, slen, l_query, rbeg, rmax0, rmax1, w, h0, pen5,
-    pen3).  Returns flat int32 [N * 16]."""
+def _extend_seed_desc_impl(didx, qreads, desc, a, b, o_del, e_del,
+                           o_ins, e_ins, zdrop, W, tmax, interpret):
     read = desc[:, 0].astype(I32)
     qbeg = desc[:, 1].astype(I32)
     slen = desc[:, 2].astype(I32)
@@ -173,8 +164,52 @@ def extend_seed_desc(didx, qreads, desc, a, b, o_del, e_del, o_ins,
     return jnp.concatenate(outs)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("a", "b", "o_del", "e_del", "o_ins", "e_ins",
+                     "zdrop", "W", "tmax", "interpret"))
+def extend_seed_desc(didx, qreads, desc, a, b, o_del, e_del, o_ins,
+                     e_ins, zdrop, W, tmax, interpret=False):
+    """Descriptor-mode fused extension: tiles are built ON DEVICE.
+
+    qreads: uint8 [B, L] resident chunk reads; desc idt [N, 11]:
+    (read_row, qbeg, slen, l_query, rbeg, rmax0, rmax1, w, h0, pen5,
+    pen3).  Returns flat int32 [N * 16]."""
+    return _extend_seed_desc_impl(didx, qreads, desc, a, b, o_del,
+                                  e_del, o_ins, e_ins, zdrop, W, tmax,
+                                  interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("a", "b", "o_del", "e_del", "o_ins", "e_ins",
+                     "zdrop", "W", "tmax", "interpret", "mesh"))
+def extend_seed_desc_sharded(didx, qreads, desc, a, b, o_del, e_del,
+                             o_ins, e_ins, zdrop, W, tmax, mesh,
+                             interpret=False):
+    """Data-parallel descriptor extension: the Pallas kernel cannot be
+    GSPMD-partitioned, so the whole desc body (tile gathers + fused
+    passes) runs under shard_map with the job axis sharded over 'dp'
+    and the index/reads replicated (SURVEY.md §2.2)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    import jax.tree_util as jtu
+
+    def local(didx_, qreads_, desc_):
+        return _extend_seed_desc_impl(didx_, qreads_, desc_, a, b,
+                                      o_del, e_del, o_ins, e_ins,
+                                      zdrop, W, tmax, interpret)
+
+    didx_spec = jtu.tree_map(lambda _: P(), didx)
+    return shard_map(local, mesh=mesh,
+                     in_specs=(didx_spec, P(), P("dp")),
+                     out_specs=P("dp"), check_vma=False)(
+                         didx, qreads, desc)
+
+
 def extend_seed_desc_np(didx, qd, jobs, mat, o_del, e_del, o_ins,
-                        e_ins, zdrop, tmax, interpret=None) -> np.ndarray:
+                        e_ins, zdrop, tmax, interpret=None,
+                        mesh=None) -> np.ndarray:
     """Adapter: descriptor job tuples ('D', read, qbeg, slen, lq, rbeg,
     rmax0, rmax1, w, h0, pen5, pen3) -> np.int32 [n, 16].  Ships ~44
     bytes per job; tiles come from the resident read array + pac."""
@@ -207,10 +242,21 @@ def extend_seed_desc_np(didx, qd, jobs, mat, o_del, e_del, o_ins,
         desc[slot] = da[i]
     step = N if N <= JOBS else min(4 * CHUNK, N)
     futs = []
-    for off in range(0, N, step):
-        futs.append(extend_seed_desc(
-            didx, qd, jnp.asarray(desc[off:off + step]), ab[0], ab[1],
-            o_del, e_del, o_ins, e_ins, zdrop, W, tm, interpret))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        shrd = NamedSharding(mesh, P("dp"))
+        for off in range(0, N, step):
+            futs.append(extend_seed_desc_sharded(
+                didx, qd,
+                jax.device_put(desc[off:off + step], shrd), ab[0],
+                ab[1], o_del, e_del, o_ins, e_ins, zdrop, W, tm, mesh,
+                interpret))
+    else:
+        for off in range(0, N, step):
+            futs.append(extend_seed_desc(
+                didx, qd, jnp.asarray(desc[off:off + step]), ab[0],
+                ab[1], o_del, e_del, o_ins, e_ins, zdrop, W, tm,
+                interpret))
     res = np.concatenate([np.asarray(f).reshape(-1, 16) for f in futs],
                          axis=0)
     out = np.zeros((n, 16), np.int32)

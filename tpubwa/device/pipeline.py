@@ -65,16 +65,44 @@ class DeviceAligner:
     """Batched seeding/SA/extension; host chaining + region post."""
 
     def __init__(self, opt: MemOpt, fmi: FMIndex, platform: str = "auto",
-                 use_pallas: bool = True):
+                 use_pallas: bool = True, mesh=None):
         from ..utils import enable_compilation_cache
         enable_compilation_cache()
         self.opt = opt
         self.fmi = fmi
         self.mat = opt.scoring_matrix()
-        self.device = _pick_device(platform)
-        self.didx = DeviceIndex.from_fmindex(fmi, device=self.device)
+        self.mesh = mesh
+        if mesh is not None:
+            # data-parallel over the mesh: FM-index replicated, every
+            # job-axis array sharded over 'dp' (SURVEY.md §2.2); the
+            # device programs partition via GSPMD, the Pallas
+            # extension runs under shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._repl = NamedSharding(mesh, P())
+            self._shrd = NamedSharding(mesh, P("dp"))
+            self.device = None
+            self.didx = DeviceIndex.from_fmindex(fmi)
+            from ..dist.sharding import DataParallel
+            dp = DataParallel(mesh=mesh)
+            self.didx = dp.replicate_index(self.didx)
+
+            def put_sharded(x):
+                return jax.device_put(np.ascontiguousarray(x),
+                                      self._shrd)
+
+            def put_repl(x):
+                return jax.device_put(np.ascontiguousarray(x),
+                                      self._repl)
+            self.put_sharded = put_sharded
+            self.put_repl = put_repl
+        else:
+            self.device = _pick_device(platform)
+            self.didx = DeviceIndex.from_fmindex(fmi, device=self.device)
+            self.put_sharded = jnp.asarray
+            self.put_repl = jnp.asarray
         self.extender = WaveExtender(opt, self.mat,
-                                     use_pallas=use_pallas, fused=True)
+                                     use_pallas=use_pallas, fused=True,
+                                     mesh=mesh)
         from .extend_pallas import _mat_ab
         self.mat_scmat = _mat_ab(self.mat) is not None
         self.read_len_cap = 256  # longer reads fall back to scalar path
@@ -126,9 +154,8 @@ class DeviceAligner:
         m = _pad_pow2(n)
         arr = np.zeros(m, self.didx.np_idt)
         arr[:n] = ranks
-        pos = np.asarray(sa_lookup(self.didx,
-                                   jnp.asarray(arr)))[:n].astype(np.int64)
-        return pos, cnt
+        pos = np.asarray(sa_lookup(self.didx, self.put_sharded(arr)))
+        return pos[:n].astype(np.int64), cnt
 
     # -------------------------------------------------------------
     def _seed_chunk(self, chunk: Sequence[Read]):
@@ -144,7 +171,9 @@ class DeviceAligner:
             pad <<= 1
         arr, lens = self._pack(chunk, pad)
         rows = collect_intv_device(self.opt, self.didx, arr, lens,
-                                   fmi=self.fmi)[:len(chunk)]
+                                   fmi=self.fmi,
+                                   put_sharded=self.put_sharded,
+                                   put_repl=self.put_repl)[:len(chunk)]
         return rows, self._sa_positions(rows)
 
     def _chunk_regs(self, chunk, intv_rows, positions):
@@ -159,7 +188,7 @@ class DeviceAligner:
             while pad < len(chunk):
                 pad <<= 1
             arr, _ = self._pack(chunk, pad)
-            qd = jnp.asarray(arr)
+            qd = self.put_repl(arr)
             self.extender.set_chunk_ctx(self.didx, qd, chunk, fmi.bnt)
         # chain stage: native C++ when available (byte-equal; see
         # tests/test_native_emit.py::test_chain_batch_equality)
@@ -273,6 +302,7 @@ def _serialize_per_read(plans_by_read):
 
 def make_device_aligner(opt: MemOpt, fmi: FMIndex,
                         platform: str = "auto",
-                        use_pallas: bool = True) -> DeviceAligner:
+                        use_pallas: bool = True,
+                        mesh=None) -> DeviceAligner:
     return DeviceAligner(opt, fmi, platform=platform,
-                         use_pallas=use_pallas)
+                         use_pallas=use_pallas, mesh=mesh)

@@ -352,7 +352,9 @@ def _scalar_reseed(opt, fmi, read_row, l_seq, x, min_intv):
 def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                         lens: np.ndarray, fmi=None,
                         use_cursor: bool = True,
-                        mode: str = None) -> List[np.ndarray]:
+                        mode: str = None,
+                        put_sharded=None,
+                        put_repl=None) -> List[np.ndarray]:
     """Full 3-round mem_collect_intv for a batch, device-accelerated.
     Returns per-read [n, 5] int64 (x0, x1, size, qb, qe) sorted by
     (qb, qe) — the contract of ref.smem.collect_intv.
@@ -380,8 +382,14 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     # one H2D of the chunk's codes (uint8: the link is slow), reused by
     # all three rounds
     lens_np = np.asarray(lens, np.int32)
-    qd = jnp.asarray(np.ascontiguousarray(reads, dtype=np.uint8))
-    ld = jnp.asarray(lens_np)
+    if put_repl is None:
+        put_repl = jnp.asarray
+    if put_sharded is None:
+        put_sharded = jnp.asarray
+    # qd/ld replicated: the bwd machine's job lanes gather rows across
+    # the whole chunk, so the read array cannot be sharded
+    qd = put_repl(np.ascontiguousarray(reads, dtype=np.uint8))
+    ld = put_repl(lens_np)
     # round 3 is independent of rounds 1-2: dispatch it FIRST so its
     # result is already on host by the time we sync on it (each
     # blocking sync costs a ~40 ms link round trip)
@@ -396,7 +404,8 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
         if mode == "split":
             from .smem_split import rounds12_split
             rows12, rids12 = rounds12_split(opt, didx, qd, ld, lens_np,
-                                            reads, split_len, fmi)
+                                            reads, split_len, fmi,
+                                            put=put_sharded)
         else:
             rows12, rids12 = _rounds12_cursor(opt, didx, qd, ld,
                                               lens_np, reads,

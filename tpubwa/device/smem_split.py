@@ -288,7 +288,8 @@ def _pad_pow2(n: int, lo: int = 256) -> int:
     return m
 
 
-def run_fwd(didx, qd, ld, read, x0, min_intv, one_shot, P, MAXC):
+def run_fwd(didx, qd, ld, read, x0, min_intv, one_shot, P, MAXC,
+            put=jnp.asarray):
     """Pad lanes to pow2, run the FWD machine, return (device snap,
     meta [n, MAXC, 2] i32, n_calls [n], overflow [n])."""
     n = len(read)
@@ -302,15 +303,15 @@ def run_fwd(didx, qd, ld, read, x0, min_intv, one_shot, P, MAXC):
     mi[:n] = min_intv
     osh[:n] = one_shot
     snap, host_buf = smem_fwd_machine(
-        didx, qd, ld, jnp.asarray(r), jnp.asarray(x), jnp.asarray(mi),
-        jnp.asarray(osh), P, MAXC)
+        didx, qd, ld, put(r), put(x), put(mi), put(osh), P, MAXC)
     buf = np.asarray(host_buf)
     meta = buf[:mpad * MAXC * 2].reshape(mpad, MAXC, 2)[:n]
     aux = buf[mpad * MAXC * 2:][:n]
     return snap, meta, (aux & 0xFFFF).astype(np.int32), (aux >> 30) != 0
 
 
-def run_bwd(didx, qd, ld, snap, jobs, P, MAXM, min_seed_len):
+def run_bwd(didx, qd, ld, snap, jobs, P, MAXM, min_seed_len,
+            put=jnp.asarray):
     """jobs: (src, read, x, m, min_intv) arrays [M].  Returns
     (mem [M, MAXM, 5], mem_n [M], overflow [M])."""
     n = len(jobs[0])
@@ -324,9 +325,8 @@ def run_bwd(didx, qd, ld, snap, jobs, P, MAXM, min_seed_len):
     src[:n], read[:n], x[:n], m[:n] = jobs[0], jobs[1], jobs[2], jobs[3]
     mi[:n] = jobs[4]
     buf = smem_bwd_machine(
-        didx, qd, ld, snap, jnp.asarray(src), jnp.asarray(read),
-        jnp.asarray(x), jnp.asarray(m), jnp.asarray(mi), P, MAXM,
-        int(min_seed_len))
+        didx, qd, ld, snap, put(src), put(read), put(x), put(m),
+        put(mi), P, MAXM, int(min_seed_len))
     return buf, mpad
 
 
@@ -345,7 +345,7 @@ def _stack_P(didx) -> int:
 
 
 def rounds12_split(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
-                   MAXC: int = 8, MAXM: int = 12
+                   MAXC: int = 8, MAXM: int = 12, put=jnp.asarray
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Rounds 1-2 of mem_collect_intv via the split machines.
     Same contract as smem._rounds12_cursor: flat (rows [n,5] int64,
@@ -371,7 +371,7 @@ def rounds12_split(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
             buf, mpad = run_bwd(
                 didx, qd, ld, snap,
                 (jsrc[idx], jread[idx], jx[idx], jm[idx], jmi[idx]),
-                P, MAXM, opt.min_seed_len)
+                P, MAXM, opt.min_seed_len, put=put)
             bufs.append((buf, mpad, idx))
         for ent in bufs:
             if ent is None:
@@ -394,7 +394,7 @@ def rounds12_split(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
     snap, meta, ncalls, ovfA = run_fwd(
         didx, qd, ld, np.arange(B, dtype=np.int32),
         np.zeros(B, np.int32), np.ones(B, npdt),
-        np.zeros(B, bool), P, MAXC)
+        np.zeros(B, bool), P, MAXC, put=put)
     good = ~ovfA
     csel = (np.arange(MAXC)[None, :] < ncalls[:, None]) & good[:, None]
     cm = csel.reshape(-1)
@@ -431,7 +431,7 @@ def rounds12_split(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
     job_mi = (r1_rows[jsel, 2] + 1).astype(npdt)
     snap2, meta2, ncalls2, ovfA2 = run_fwd(
         didx, qd, ld, job_rid, job_x, job_mi,
-        np.ones(len(job_rid), bool), P, MAXC)
+        np.ones(len(job_rid), bool), P, MAXC, put=put)
     good2 = ~ovfA2 & (ncalls2 > 0)
     idx2 = np.flatnonzero(good2)
     rows_out, rids_out = [r1_rows], [r1_rids]

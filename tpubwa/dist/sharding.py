@@ -164,7 +164,7 @@ class DataParallel:
                          e_del: int, o_ins: int, e_ins: int, zdrop: int,
                          interpret: bool = False):
         """The Pallas extension kernel under shard_map over 'dp'."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from ..device.extend_pallas import extend_batch_pallas
 
         def local(q, t, p):
@@ -174,4 +174,4 @@ class DataParallel:
         return jax.jit(shard_map(
             local, mesh=self.mesh,
             in_specs=(P("dp"), P("dp"), P("dp")),
-            out_specs=P("dp"), check_rep=False))
+            out_specs=P("dp"), check_vma=False))
