@@ -145,7 +145,12 @@ def _add_mem_opts(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("-o", default=None, dest="out_file")
     ap.add_argument("--shard", default=None,
                     help="I/N: process the I-th of N deterministic "
-                         "record-range shards (multi-host mode)")
+                         "record-range shards (manual multi-host mode)")
+    ap.add_argument("--dist", action="store_true",
+                    help="multi-host: jax.distributed.initialize(); "
+                         "each process takes shard process_index/"
+                         "process_count, writes <out>.shardNNNNN, and "
+                         "rank 0 merges after a cross-host barrier")
     ap.add_argument("--journal", default=None,
                     help="checkpoint journal for resumable runs "
                          "(requires -o)")
@@ -254,6 +259,31 @@ def main_mem(argv, out=None) -> int:
     log.setLevel({1: logging.ERROR, 2: logging.WARNING}.get(
         args.verbosity, logging.INFO if args.verbosity == 3
         else logging.DEBUG))
+    dist_ctx = None
+    if args.dist:
+        # SURVEY.md §5.8: startup barrier + deterministic per-host
+        # shard assignment (computed from process_index, not
+        # communicated), per-shard SAM files, rank-0 merge, one
+        # end-of-run gather of per-host counters
+        if not args.out_file:
+            ap.error("--dist requires -o")
+        if args.shard:
+            ap.error("--dist computes shards from process_index; "
+                     "drop --shard")
+        import jax
+        kw = {}
+        import os as _os
+        if _os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            kw = dict(
+                coordinator_address=_os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(_os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(_os.environ["JAX_PROCESS_ID"]))
+        jax.distributed.initialize(**kw)
+        pi, pc = jax.process_index(), jax.process_count()
+        dist_ctx = (pi, pc, args.out_file)
+        args.shard = f"{pi}/{pc}"
+        args.out_file = f"{args.out_file}.shard{pi:05d}"
+        log.info("[dist] process %d/%d -> %s", pi, pc, args.out_file)
     close_out = False
     if out is None:
         if args.out_file:
@@ -367,9 +397,32 @@ def main_mem(argv, out=None) -> int:
     log.info("%s", timers.final_lines())
     metrics.emit(event="done", reads=n_processed - base_offset,
                  **{k: round(v, 3) for k, v in timers.wall.items()})
-    metrics.close()
     if close_out:
         out.close()
+    if dist_ctx is not None:
+        import jax
+        import numpy as _np
+        from jax.experimental import multihost_utils
+        pi, pc, final_out = dist_ctx
+        wall = time.time() - t0
+        done = n_processed - base_offset
+        # end-of-run gather of per-host counters (the only data-plane
+        # collective the design needs)
+        counters = multihost_utils.process_allgather(
+            _np.asarray([done, wall * 1000.0]))
+        multihost_utils.sync_global_devices("tpubwa_mem_shards_done")
+        if pi == 0:
+            shards = [f"{final_out}.shard{i:05d}" for i in range(pc)]
+            main_merge(["-o", final_out] + shards)
+            total = int(counters[:, 0].sum())
+            rate = total / max(counters[:, 1].max() / 1000.0, 1e-9)
+            log.info("[dist] merged %d shards -> %s: %d reads, "
+                     "%.1f reads/s aggregate", pc, final_out, total,
+                     rate)
+            metrics.emit(event="dist_done", processes=pc, reads=total,
+                         reads_per_s=round(rate, 1),
+                         per_host=[int(x) for x in counters[:, 0]])
+    metrics.close()
     return 0
 
 
@@ -429,6 +482,14 @@ def main_fastmap(argv, out=None) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+    if os.environ.get("TPUBWA_JAX_PLATFORMS"):
+        # the axon sitecustomize force-prepends the TPU platform and
+        # ignores JAX_PLATFORMS; honor an explicit override before any
+        # backend initialization (multi-process CPU tests need this)
+        import jax
+        jax.config.update("jax_platforms",
+                          os.environ["TPUBWA_JAX_PLATFORMS"])
     argv = list(sys.argv[1:] if argv is None else argv)
     logging.basicConfig(level=logging.INFO,
                         format="[%(levelname).1s::%(name)s] %(message)s",
