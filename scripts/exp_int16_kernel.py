@@ -1,0 +1,263 @@
+#!/usr/bin/env python
+"""Experiment: int16 DP lanes in the extension kernel (VERDICT round-1
+weak item 2).  Scores fit int16 for default scoring (l_query*a +
+end_bonus << 2^15), so halving the lane width should roughly halve
+VMEM traffic per DP row and allow bigger chunks.  This measures GCUPS
+of an int16 variant against the production int32 kernel on the real
+chip before any integration."""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from tpubwa.utils import enable_compilation_cache
+enable_compilation_cache()
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+I16 = jnp.int16
+NEG16 = -(1 << 13)
+
+
+def _c(v, dt=I16):
+    return jnp.asarray(v, dt)
+
+
+def _roll1(x, sh):
+    return pltpu.roll(x, shift=jnp.asarray(sh, I32), axis=1)
+
+
+def _prefix_max16(x):
+    n = x.shape[-1]
+    sh = 1
+    cols = jax.lax.broadcasted_iota(I32, x.shape, 1).astype(I16)
+    while sh < n:
+        shifted = _roll1(x, sh)
+        x = jnp.maximum(x, jnp.where(cols >= _c(sh), shifted,
+                                     _c(NEG16)))
+        sh <<= 1
+    return x
+
+
+def _extend_kernel16(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del,
+                     e_del, o_ins, e_ins, zdrop, tmax):
+    J = q_ref.shape[0]
+    NL = q_ref.shape[1]
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+    lane = jax.lax.broadcasted_iota(I32, (J, NL), 1).astype(I16)
+    qlen = p_ref[:, 0:1].astype(I16)
+    tlen = p_ref[:, 1:2].astype(I16)
+    h0 = p_ref[:, 2:3].astype(I16)
+    w_in = p_ref[:, 3:4].astype(I16)
+    ebon = p_ref[:, 4:5].astype(I16)
+
+    q = q_ref[:, :].astype(I16)
+    qpad = jnp.where(lane < qlen, q, _c(4))
+    max_ins = jnp.maximum((qlen * a + ebon - o_ins) // _c(e_ins) + 1,
+                          _c(1))
+    max_del = jnp.maximum((qlen * a + ebon - o_del) // _c(e_del) + 1,
+                          _c(1))
+    ww = jnp.minimum(jnp.minimum(w_in, max_ins), max_del)
+
+    ramp = h0 - oe_ins - (lane - 1) * e_ins
+    eh_h = jnp.where(lane == _c(0), jnp.broadcast_to(h0, (J, NL)),
+                     jnp.maximum(ramp, _c(0)))
+    eh_h = jnp.where(lane <= qlen, eh_h, _c(0))
+    eh_e = jnp.zeros((J, NL), I16)
+
+    zero1 = jnp.zeros((J, 1), I16)
+    tile_tmax = jnp.minimum(jnp.max(tlen.astype(I32)),
+                            _c(t_ref.shape[0], I32))
+
+    def cond(c):
+        (i, eh_h, eh_e, beg, end, best, max_i, max_j, max_ie, gscore,
+         max_off, dead) = c
+        return (i < tile_tmax) & (jnp.min(dead.astype(I32)) == 0)
+
+    def body(c):
+        (i, eh_h, eh_e, beg, end, best, max_i, max_j, max_ie, gscore,
+         max_off, dead) = c
+        i16 = i.astype(I16)
+        act = (dead == _c(0)) & (i16 < tlen)
+        beg_i = jnp.maximum(beg, i16 - ww)
+        end_i = jnp.minimum(jnp.minimum(end, i16 + ww + 1), qlen)
+        closed = beg_i >= end_i
+        h1_first = jnp.where(
+            beg_i == _c(0),
+            jnp.maximum(h0 - (o_del + e_del * (i16 + 1)), _c(0)),
+            _c(0))
+        ii = jnp.clip(i, jnp.asarray(0, I32),
+                      jnp.asarray(t_ref.shape[0] - 1, I32))
+        tb = t_ref[pl.ds(ii, 1), :].reshape(1, J).T.astype(I16)
+        isn = (tb > 3) | (qpad > 3)
+        prof = jnp.where(isn, _c(-1), jnp.where(tb == qpad, _c(a),
+                                                _c(-b)))
+        in_band = (lane >= beg_i) & (lane < end_i)
+        Hdiag = eh_h
+        M = jnp.where(Hdiag != _c(0), Hdiag + prof, _c(0))
+        M = jnp.where(in_band, M, _c(NEG16))
+        E = jnp.where(in_band, eh_e, _c(NEG16))
+        he = jnp.maximum(M, E)
+        t_ins = jnp.where(in_band, jnp.maximum(M - oe_ins, _c(0)),
+                          _c(NEG16))
+        pm = _prefix_max16(t_ins + lane * e_ins)
+        pm1 = _roll1(pm, 1)
+        F = jnp.where(lane >= _c(1), pm1 - (lane - 1) * e_ins,
+                      _c(NEG16))
+        F = jnp.where(lane == beg_i, _c(0), F)
+        H = jnp.maximum(he, F)
+        H = jnp.where(in_band, jnp.maximum(H, _c(0)), _c(0))
+        m = jnp.max(jnp.where(in_band, H, _c(NEG16)), axis=1,
+                    keepdims=True)
+        m = jnp.maximum(m, _c(0))
+        mj = jnp.max(jnp.where(in_band & (H == m), lane, _c(-1)),
+                     axis=1, keepdims=True)
+        t_del = jnp.maximum(M - oe_del, _c(0))
+        Enew = jnp.maximum(eh_e - e_del, t_del)
+        upd = act & jnp.logical_not(closed)
+        Hroll = _roll1(H, 1)
+        wm_h = (lane > beg_i) & (lane <= end_i)
+        eh_h = jnp.where(upd & wm_h, Hroll, eh_h)
+        eh_h = jnp.where(upd & (lane == beg_i), h1_first, eh_h)
+        eh_e = jnp.where(upd & in_band, Enew, eh_e)
+        eh_e = jnp.where(upd & (lane == end_i), _c(0), eh_e)
+        cl = act & closed
+        eh_h = jnp.where(cl & (lane == end_i), h1_first, eh_h)
+        eh_e = jnp.where(cl & (lane == end_i), _c(0), eh_e)
+        h_open = jnp.sum(jnp.where(lane == end_i - _c(1), H, _c(0)),
+                         axis=1, keepdims=True, dtype=I32).astype(I16)
+        h_last = jnp.where(closed, h1_first, h_open)
+        at_qend = act & (end_i == qlen) & (h_last >= gscore)
+        max_ie = jnp.where(at_qend, i16, max_ie)
+        gscore = jnp.where(at_qend, h_last, gscore)
+        dead = jnp.maximum(dead,
+                           (act & (closed | (m == _c(0)))).astype(I16))
+        alive = act & jnp.logical_not(closed) & (m != _c(0))
+        better = alive & (m > best)
+        off = jnp.abs(mj - i16)
+        max_off = jnp.where(better, jnp.maximum(max_off, off), max_off)
+        max_i_n = jnp.where(better, i16, max_i)
+        max_j_n = jnp.where(better, mj, max_j)
+        if zdrop > 0:
+            di = i16 - max_i
+            dj = mj - max_j
+            dd = jnp.where(di > dj, (di - dj) * e_del, (dj - di) * e_ins)
+            zd = (best - m - dd) > _c(zdrop)
+            dead = jnp.maximum(
+                dead,
+                (alive & jnp.logical_not(better) & zd).astype(I16))
+        best = jnp.where(better, m, best)
+        max_i, max_j = max_i_n, max_j_n
+        nz = (eh_h != _c(0)) | (eh_e != _c(0))
+        in_sc = (lane >= beg_i) & (lane < end_i)
+        first_nz = jnp.min(jnp.where(in_sc & nz, lane, _c(NL + 2)),
+                           axis=1, keepdims=True)
+        beg_n = jnp.minimum(first_nz, end_i)
+        in_s2 = (lane >= beg_n) & (lane <= end_i)
+        last_nz = jnp.max(jnp.where(in_s2 & nz, lane, _c(NEG16)),
+                          axis=1, keepdims=True)
+        j_dn = jnp.where(last_nz == _c(NEG16), beg_n - _c(1), last_nz)
+        end_n = jnp.minimum(j_dn + 2, qlen)
+        beg = jnp.where(alive, beg_n, beg)
+        end = jnp.where(alive, end_n, end)
+        return (i + 1, eh_h, eh_e, beg, end, best, max_i, max_j,
+                max_ie, gscore, max_off, dead)
+
+    init = (jnp.zeros((), I32), eh_h, eh_e, zero1, qlen + _c(0),
+            h0 + _c(0), zero1 - 1, zero1 - 1, zero1 - 1, zero1 - 1,
+            zero1, zero1)
+    state = jax.lax.while_loop(cond, body, init)
+    (_, eh_h, eh_e, beg, end, best, max_i, max_j, max_ie, gscore,
+     max_off, dead) = state
+    res = jnp.concatenate(
+        [best, max_j + 1, max_i + 1, max_ie + 1, gscore, max_off,
+         jnp.zeros((J, 128 - 6), I16)], axis=1)
+    out_ref[:, :] = res.astype(I32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("a", "b", "o_del", "e_del", "o_ins", "e_ins",
+                     "zdrop", "tmax", "interpret"))
+def extend_batch_pallas16(q, t, params, a, b, o_del, e_del, o_ins,
+                          e_ins, zdrop, tmax, interpret=False):
+    kernel = functools.partial(
+        _extend_kernel16, a=a, b=b, o_del=o_del, e_del=e_del,
+        o_ins=o_ins, e_ins=e_ins, zdrop=zdrop, tmax=tmax)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q.shape[0], 128), I32),
+        interpret=interpret,
+    )(q, t.T, params)
+
+
+def main():
+    from tpubwa.device.extend_pallas import extend_batch_pallas, LANES
+    rng = np.random.default_rng(0)
+    QL, TL, TMAX = 100, 200, 256
+    interp = jax.default_backend() not in ("tpu",)
+    for N in (512, 1024):
+        tpl = rng.integers(0, 4, TL + N).astype(np.int32)
+        q = np.full((N, 128), 4, np.int32)
+        t = np.full((N, TMAX), 4, np.int32)
+        p = np.zeros((N, 128), np.int32)
+        for i in range(N):
+            t[i, :TL] = tpl[i:i + TL]
+            q[i, :QL] = tpl[i:i + QL]
+            p[i, :5] = (QL, TL, 60, 100, 5)
+        qj, tj, pj = (jnp.asarray(x) for x in (q, t, p))
+        for name, fn in (("i32", extend_batch_pallas),
+                         ("i16", extend_batch_pallas16)):
+            try:
+                r = fn(qj, tj, pj, 1, 4, 6, 1, 6, 1, 100, TMAX, interp)
+                r0 = np.asarray(r)
+                t0 = time.perf_counter()
+                for _ in range(20):
+                    r = fn(qj, tj, pj, 1, 4, 6, 1, 6, 1, 100, TMAX,
+                           interp)
+                np.asarray(r)
+                dt = (time.perf_counter() - t0) / 20
+                gc = N * QL * TL / dt / 1e9
+                print(f"N={N} {name}: {dt*1e3:.2f} ms = {gc:.0f} GCUPS"
+                      f"  first-row {r0[0, :6].tolist()}", flush=True)
+            except Exception as e:
+                print(f"N={N} {name}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:300]}", flush=True)
+    # bit-equality check i16 vs i32 on random banded jobs
+    bad = 0
+    for trial in range(30):
+        n = 64
+        q = np.full((n, 128), 4, np.int32)
+        t = np.full((n, 256), 4, np.int32)
+        p = np.zeros((n, 128), np.int32)
+        for i in range(n):
+            ql = int(rng.integers(5, 120))
+            tl = int(rng.integers(5, 250))
+            base = rng.integers(0, 4, max(ql, tl) + 10)
+            q[i, :ql] = base[:ql]
+            t[i, :tl] = base[:tl]
+            mut = rng.random(tl) < 0.08
+            t[i, :tl][mut] = rng.integers(0, 4, int(mut.sum()))
+            p[i, :5] = (ql, tl, int(rng.integers(1, 100)),
+                        int(rng.integers(5, 100)), 5)
+        a32 = np.asarray(extend_batch_pallas(
+            jnp.asarray(q), jnp.asarray(t), jnp.asarray(p),
+            1, 4, 6, 1, 6, 1, 100, 256, interp))[:, :6]
+        a16 = np.asarray(extend_batch_pallas16(
+            jnp.asarray(q), jnp.asarray(t), jnp.asarray(p),
+            1, 4, 6, 1, 6, 1, 100, 256, interp))[:, :6]
+        bad += int((a32 != a16).any(axis=1).sum())
+    print(f"equality fuzz: {bad} mismatching jobs / {30*64}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

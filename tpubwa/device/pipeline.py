@@ -44,21 +44,24 @@ def _pick_device(platform: str):
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
             pass  # backends already initialized; use jax.devices("cpu")
-        return jax.devices("cpu")[0]
+        return [d for d in jax.local_devices(backend="cpu")][0]
     try:
-        devs = jax.devices()
+        devs = jax.local_devices()
     except RuntimeError:
         if platform == "tpu":
             raise
         log.warning("TPU backend unavailable; using CPU")
         jax.config.update("jax_platforms", "cpu")
-        devs = jax.devices()
+        devs = jax.local_devices()
+    # local_devices only: under jax.distributed, jax.devices() lists
+    # every process's devices and computing on a remote one fails at
+    # the first D2H fetch
     for d in devs:
         if d.platform in ("tpu", "axon"):
             return d
     if platform == "tpu":
         raise RuntimeError("no TPU device available")
-    return jax.devices("cpu")[0]
+    return jax.local_devices(backend="cpu")[0]
 
 
 class DeviceAligner:
