@@ -56,12 +56,13 @@ def _sel_base(ok, c):
                    dtype=ok.dtype)
 
 
-@partial(jax.jit, static_argnames=("P", "MAXC", "max_rounds"))
+@partial(jax.jit, static_argnames=("P", "MAXC", "max_rounds",
+                                   "unroll"))
 def smem_fwd_machine(didx: DeviceIndex, q: jnp.ndarray,
                      lens: jnp.ndarray, read: jnp.ndarray,
                      x0: jnp.ndarray, min_intv: jnp.ndarray,
                      one_shot: jnp.ndarray, P: int, MAXC: int,
-                     max_rounds: int = 2048):
+                     max_rounds: int = 2048, unroll: int = 1):
     """Forward passes of bwt_smem1a for N independent lanes.
 
     q uint8 [B, L]; lens i32 [B]; per-lane read/x0 i32 [N], min_intv
@@ -162,7 +163,16 @@ def smem_fwd_machine(didx: DeviceIndex, q: jnp.ndarray,
                     call=call, snap=snap, meta=meta, overflow=overflow,
                     rounds=s["rounds"] + 1)
 
-    out = jax.lax.while_loop(cond, body, state)
+    def body_k(s):
+        # tuning knob: K protocol steps per while_loop round (finished
+        # lanes no-op under composition).  Measured on the tunneled
+        # v5e: rounds are WORK-bound, not launch-bound, so unroll > 1
+        # lost ~20%; kept at 1, the knob documents the experiment
+        for _ in range(unroll):
+            s = body(s)
+        return s
+
+    out = jax.lax.while_loop(cond, body_k, state)
     overflow = out["overflow"] | (out["phase"] != DONE)
     aux = out["call"] | (overflow.astype(I32) << 30)
     host_buf = jnp.concatenate(
@@ -171,13 +181,14 @@ def smem_fwd_machine(didx: DeviceIndex, q: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("P", "MAXM", "min_seed_len",
-                                   "max_rounds"))
+                                   "max_rounds", "unroll"))
 def smem_bwd_machine(didx: DeviceIndex, q: jnp.ndarray,
                      lens: jnp.ndarray, snap: jnp.ndarray,
                      src: jnp.ndarray, read: jnp.ndarray,
                      x: jnp.ndarray, m_in: jnp.ndarray,
                      min_intv: jnp.ndarray, P: int, MAXM: int,
-                     min_seed_len: int, max_rounds: int = 512):
+                     min_seed_len: int, max_rounds: int = 512,
+                     unroll: int = 1):
     """Backward pass for M recorded calls.
 
     snap idt [N, MAXC, P, 4] (device-resident FWD output); src i32 [M]
@@ -274,7 +285,13 @@ def smem_bwd_machine(didx: DeviceIndex, q: jnp.ndarray,
                     overflow=overflow, done=done,
                     rounds=s["rounds"] + 1)
 
-    out = jax.lax.while_loop(cond, body, state)
+    def body_k(s):
+        # see smem_fwd_machine: unroll kept at 1 (rounds are work-bound)
+        for _ in range(unroll):
+            s = body(s)
+        return s
+
+    out = jax.lax.while_loop(cond, body_k, state)
     overflow = out["overflow"] | ~out["done"]
     aux = out["mem_n"] | (overflow.astype(I32) << 30)
     return jnp.concatenate([out["mem"].reshape(-1).astype(dt),
@@ -356,8 +373,11 @@ def rounds12_split(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
     reads_np = np.asarray(reads)
 
     def bwd_all(snap, jsrc, jread, jx, jm, jmi):
-        """Dispatch both buckets (trivial = dies in backward round 1),
-        sync once each; returns flat rows + rids + scalar-redo jobs."""
+        """Dispatch span buckets (trivial = dies in backward round 1;
+        the rest split by x, which bounds the span — the lockstep loop
+        runs max-span rounds, so mixing x=5 and x=90 lanes makes the
+        short ones idle), sync once each; returns flat rows + rids +
+        scalar-redo jobs."""
         prev_ok = (jx > 0)
         prevc = reads_np[jread, np.maximum(jx - 1, 0)]
         nontriv = prev_ok & (prevc <= 3)
