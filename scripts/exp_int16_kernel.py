@@ -51,135 +51,131 @@ def _extend_kernel16(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del,
     NL = q_ref.shape[1]
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
-    lane = jax.lax.broadcasted_iota(I32, (J, NL), 1).astype(I16)
-    qlen = p_ref[:, 0:1].astype(I16)
-    tlen = p_ref[:, 1:2].astype(I16)
-    h0 = p_ref[:, 2:3].astype(I16)
-    w_in = p_ref[:, 3:4].astype(I16)
-    ebon = p_ref[:, 4:5].astype(I16)
+    lane = jax.lax.broadcasted_iota(I32, (J, NL), 1)       # i32 masks
+    lane16 = lane.astype(I16)
+    C = lambda v: jnp.asarray(v, I32)
+    qlen = p_ref[:, 0:1]
+    tlen = p_ref[:, 1:2]
+    h0 = p_ref[:, 2:3]
+    w_in = p_ref[:, 3:4]
+    ebon = p_ref[:, 4:5]
 
-    q = q_ref[:, :].astype(I16)
-    qpad = jnp.where(lane < qlen, q, _c(4))
-    max_ins = jnp.maximum((qlen * a + ebon - o_ins) // _c(e_ins) + 1,
-                          _c(1))
-    max_del = jnp.maximum((qlen * a + ebon - o_del) // _c(e_del) + 1,
-                          _c(1))
+    q = q_ref[:, :]
+    qpad16 = jnp.where(lane < qlen, q, C(4)).astype(I16)
+    max_ins = jnp.maximum((qlen * a + ebon - o_ins) // C(e_ins) + 1, C(1))
+    max_del = jnp.maximum((qlen * a + ebon - o_del) // C(e_del) + 1, C(1))
     ww = jnp.minimum(jnp.minimum(w_in, max_ins), max_del)
 
     ramp = h0 - oe_ins - (lane - 1) * e_ins
-    eh_h = jnp.where(lane == _c(0), jnp.broadcast_to(h0, (J, NL)),
-                     jnp.maximum(ramp, _c(0)))
-    eh_h = jnp.where(lane <= qlen, eh_h, _c(0))
+    eh_h = jnp.where(lane == C(0), jnp.broadcast_to(h0, (J, NL)),
+                     jnp.maximum(ramp, C(0)))
+    eh_h = jnp.where(lane <= qlen, eh_h, C(0)).astype(I16)
     eh_e = jnp.zeros((J, NL), I16)
 
-    zero1 = jnp.zeros((J, 1), I16)
-    tile_tmax = jnp.minimum(jnp.max(tlen.astype(I32)),
-                            _c(t_ref.shape[0], I32))
+    zero1 = jnp.zeros((J, 1), I32)
+    tile_tmax = jnp.minimum(jnp.max(tlen), C(t_ref.shape[0]))
 
     def cond(c):
         (i, eh_h, eh_e, beg, end, best, max_i, max_j, max_ie, gscore,
          max_off, dead) = c
-        return (i < tile_tmax) & (jnp.min(dead.astype(I32)) == 0)
+        return (i < tile_tmax) & (jnp.min(dead) == C(0))
 
     def body(c):
         (i, eh_h, eh_e, beg, end, best, max_i, max_j, max_ie, gscore,
          max_off, dead) = c
-        i16 = i.astype(I16)
-        act = (dead == _c(0)) & (i16 < tlen)
-        beg_i = jnp.maximum(beg, i16 - ww)
-        end_i = jnp.minimum(jnp.minimum(end, i16 + ww + 1), qlen)
+        act = (dead == C(0)) & (i < tlen)
+        beg_i = jnp.maximum(beg, i - ww)
+        end_i = jnp.minimum(jnp.minimum(end, i + ww + 1), qlen)
         closed = beg_i >= end_i
         h1_first = jnp.where(
-            beg_i == _c(0),
-            jnp.maximum(h0 - (o_del + e_del * (i16 + 1)), _c(0)),
-            _c(0))
-        ii = jnp.clip(i, jnp.asarray(0, I32),
-                      jnp.asarray(t_ref.shape[0] - 1, I32))
-        tb = t_ref[pl.ds(ii, 1), :].reshape(1, J).T.astype(I16)
-        isn = (tb > 3) | (qpad > 3)
-        prof = jnp.where(isn, _c(-1), jnp.where(tb == qpad, _c(a),
+            beg_i == C(0),
+            jnp.maximum(h0 - (o_del + e_del * (i + 1)), C(0)), C(0))
+        ii = jnp.clip(i, C(0), C(t_ref.shape[0] - 1))
+        tb16 = t_ref[pl.ds(ii, 1), :].reshape(1, J).T.astype(I16)
+        isn = (tb16 > 3) | (qpad16 > 3)
+        prof = jnp.where(isn, _c(-1), jnp.where(tb16 == qpad16, _c(a),
                                                 _c(-b)))
         in_band = (lane >= beg_i) & (lane < end_i)
-        Hdiag = eh_h
-        M = jnp.where(Hdiag != _c(0), Hdiag + prof, _c(0))
+        M = jnp.where(eh_h != _c(0), eh_h + prof, _c(0))
         M = jnp.where(in_band, M, _c(NEG16))
         E = jnp.where(in_band, eh_e, _c(NEG16))
         he = jnp.maximum(M, E)
         t_ins = jnp.where(in_band, jnp.maximum(M - oe_ins, _c(0)),
                           _c(NEG16))
-        pm = _prefix_max16(t_ins + lane * e_ins)
+        pm = _prefix_max16(t_ins + lane16 * e_ins)
         pm1 = _roll1(pm, 1)
-        F = jnp.where(lane >= _c(1), pm1 - (lane - 1) * e_ins,
+        F = jnp.where(lane >= C(1), pm1 - (lane16 - 1) * e_ins,
                       _c(NEG16))
         F = jnp.where(lane == beg_i, _c(0), F)
         H = jnp.maximum(he, F)
         H = jnp.where(in_band, jnp.maximum(H, _c(0)), _c(0))
-        m = jnp.max(jnp.where(in_band, H, _c(NEG16)), axis=1,
-                    keepdims=True)
-        m = jnp.maximum(m, _c(0))
-        mj = jnp.max(jnp.where(in_band & (H == m), lane, _c(-1)),
-                     axis=1, keepdims=True)
+        m = jnp.max(jnp.where(in_band, H, _c(NEG16)).astype(I32),
+                    axis=1, keepdims=True)
+        m = jnp.maximum(m, C(0))
+        mj = jnp.max(jnp.where(in_band & (H == m.astype(I16)), lane,
+                               C(-1)), axis=1, keepdims=True)
         t_del = jnp.maximum(M - oe_del, _c(0))
         Enew = jnp.maximum(eh_e - e_del, t_del)
         upd = act & jnp.logical_not(closed)
         Hroll = _roll1(H, 1)
         wm_h = (lane > beg_i) & (lane <= end_i)
+        h1_first16 = h1_first.astype(I16)
         eh_h = jnp.where(upd & wm_h, Hroll, eh_h)
-        eh_h = jnp.where(upd & (lane == beg_i), h1_first, eh_h)
+        eh_h = jnp.where(upd & (lane == beg_i), h1_first16, eh_h)
         eh_e = jnp.where(upd & in_band, Enew, eh_e)
         eh_e = jnp.where(upd & (lane == end_i), _c(0), eh_e)
         cl = act & closed
-        eh_h = jnp.where(cl & (lane == end_i), h1_first, eh_h)
+        eh_h = jnp.where(cl & (lane == end_i), h1_first16, eh_h)
         eh_e = jnp.where(cl & (lane == end_i), _c(0), eh_e)
-        h_open = jnp.sum(jnp.where(lane == end_i - _c(1), H, _c(0)),
-                         axis=1, keepdims=True, dtype=I32).astype(I16)
+        h_open = jnp.sum(jnp.where(lane == end_i - C(1), H, _c(0)),
+                         axis=1, keepdims=True, dtype=I32)
         h_last = jnp.where(closed, h1_first, h_open)
         at_qend = act & (end_i == qlen) & (h_last >= gscore)
-        max_ie = jnp.where(at_qend, i16, max_ie)
+        max_ie = jnp.where(at_qend, i, max_ie)
         gscore = jnp.where(at_qend, h_last, gscore)
         dead = jnp.maximum(dead,
-                           (act & (closed | (m == _c(0)))).astype(I16))
-        alive = act & jnp.logical_not(closed) & (m != _c(0))
+                           (act & (closed | (m == C(0)))).astype(I32))
+        alive = act & jnp.logical_not(closed) & (m != C(0))
         better = alive & (m > best)
-        off = jnp.abs(mj - i16)
+        off = jnp.abs(mj - i)
         max_off = jnp.where(better, jnp.maximum(max_off, off), max_off)
-        max_i_n = jnp.where(better, i16, max_i)
+        max_i_n = jnp.where(better, i, max_i)
         max_j_n = jnp.where(better, mj, max_j)
         if zdrop > 0:
-            di = i16 - max_i
+            di = i - max_i
             dj = mj - max_j
             dd = jnp.where(di > dj, (di - dj) * e_del, (dj - di) * e_ins)
-            zd = (best - m - dd) > _c(zdrop)
+            zd = (best - m - dd) > C(zdrop)
             dead = jnp.maximum(
                 dead,
-                (alive & jnp.logical_not(better) & zd).astype(I16))
+                (alive & jnp.logical_not(better) & zd).astype(I32))
         best = jnp.where(better, m, best)
         max_i, max_j = max_i_n, max_j_n
         nz = (eh_h != _c(0)) | (eh_e != _c(0))
         in_sc = (lane >= beg_i) & (lane < end_i)
-        first_nz = jnp.min(jnp.where(in_sc & nz, lane, _c(NL + 2)),
+        first_nz = jnp.min(jnp.where(in_sc & nz, lane, C(NL + 2)),
                            axis=1, keepdims=True)
         beg_n = jnp.minimum(first_nz, end_i)
         in_s2 = (lane >= beg_n) & (lane <= end_i)
-        last_nz = jnp.max(jnp.where(in_s2 & nz, lane, _c(NEG16)),
+        last_nz = jnp.max(jnp.where(in_s2 & nz, lane, C(-(1 << 29))),
                           axis=1, keepdims=True)
-        j_dn = jnp.where(last_nz == _c(NEG16), beg_n - _c(1), last_nz)
+        j_dn = jnp.where(last_nz == C(-(1 << 29)), beg_n - C(1),
+                         last_nz)
         end_n = jnp.minimum(j_dn + 2, qlen)
         beg = jnp.where(alive, beg_n, beg)
         end = jnp.where(alive, end_n, end)
         return (i + 1, eh_h, eh_e, beg, end, best, max_i, max_j,
                 max_ie, gscore, max_off, dead)
 
-    init = (jnp.zeros((), I32), eh_h, eh_e, zero1, qlen + _c(0),
-            h0 + _c(0), zero1 - 1, zero1 - 1, zero1 - 1, zero1 - 1,
-            zero1, zero1)
+    init = (jnp.zeros((), I32), eh_h, eh_e, zero1, qlen + 0, h0 + 0,
+            zero1 - 1, zero1 - 1, zero1 - 1, zero1 - 1, zero1, zero1)
     state = jax.lax.while_loop(cond, body, init)
     (_, eh_h, eh_e, beg, end, best, max_i, max_j, max_ie, gscore,
      max_off, dead) = state
     res = jnp.concatenate(
         [best, max_j + 1, max_i + 1, max_ie + 1, gscore, max_off,
-         jnp.zeros((J, 128 - 6), I16)], axis=1)
-    out_ref[:, :] = res.astype(I32)
+         jnp.zeros((J, 128 - 6), I32)], axis=1)
+    out_ref[:, :] = res
 
 
 @functools.partial(
