@@ -61,7 +61,7 @@ def test_device_regions_equal_scalar(setup):
         want = align1_core(opt, fmi, r, mat)
         assert _regs_key(got[i]) == _regs_key(want), r.name
     assert aligner.extender.n_waves > 0
-    assert aligner.extender.n_jobs >= len(reads)
+    assert aligner.extender.n_jobs > 0  # native planner skips trivial seeds
 
 
 def test_device_sam_identical_to_scalar(setup):
@@ -147,3 +147,31 @@ def test_mixed_length_batch_keeps_device_path(setup):
     assert calls["n"] >= 1  # device path actually ran for the shorts
     want = [align1_core(opt, fmi, r, mat) for r in reads]
     assert [_regs_key(r) for r in got] == [_regs_key(r) for r in want]
+
+
+def test_native_planner_equals_python_plan(setup, monkeypatch):
+    """The C++ extension planner (bwacore.cpp plan_*) must produce
+    region-identical output to the Python generator path on the same
+    chunk, including repetitive and N-laden reads."""
+    d, codes, prefix, fmi = setup
+    rng = np.random.default_rng(23)
+    opt = MemOpt()
+    reads = []
+    for t in range(24):
+        start = int(rng.integers(0, len(codes) - 130))
+        L = int(rng.integers(40, 110))
+        q = codes[start:start + L].copy()
+        for _ in range(int(rng.integers(0, 6))):
+            q[int(rng.integers(0, L))] = int(rng.integers(0, 5))
+        reads.append(Read(name=f"np{t}", seq=q, qual=None))
+    unit = codes[12000:12040]
+    reads.append(Read(name="rep", seq=np.tile(unit, 3)[:100].copy(),
+                      qual=None))
+    a1 = make_device_aligner(opt, fmi, platform="cpu")
+    native = a1.align_batch(reads)
+    monkeypatch.setenv("TPUBWA_NO_NATIVE_PLAN", "1")
+    a2 = make_device_aligner(opt, fmi, platform="cpu")
+    python = a2.align_batch(reads)
+    assert [_regs_key(r) for r in native] == \
+        [_regs_key(r) for r in python]
+    assert sum(len(r) for r in native) > 0

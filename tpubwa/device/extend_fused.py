@@ -218,9 +218,13 @@ def extend_seed_desc_np(didx, qd, jobs, mat, o_del, e_del, o_ins,
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     n = len(jobs)
-    da = np.zeros((max(n, 1), 11), didx.np_idt)
-    for i, j in enumerate(jobs):
-        da[i] = j[1:]
+    if isinstance(jobs, np.ndarray):
+        # raw descriptor rows (native planner path): already [n, 11]
+        da = np.ascontiguousarray(jobs, didx.np_idt)
+    else:
+        da = np.zeros((max(n, 1), 11), didx.np_idt)
+        for i, j in enumerate(jobs):
+            da[i] = j[1:]
     tlL = np.where(da[:n, 1] > 0, da[:n, 4] - da[:n, 5], 0)
     tlR = np.where(da[:n, 3] - da[:n, 1] - da[:n, 2] > 0,
                    da[:n, 6] - da[:n, 4] - da[:n, 2], 0)

@@ -193,6 +193,26 @@ class DeviceAligner:
             arr, _ = self._pack(chunk, pad)
             qd = self.put_repl(arr)
             self.extender.set_chunk_ctx(self.didx, qd, chunk, fmi.bnt)
+            # native planner: chaining + per-seed planning + region
+            # post all in C++ — Python only shuttles descriptor waves
+            # to the device (host/native_emit.py:plan_batch_native)
+            from ..host.native_emit import plan_batch_native
+            from .extend_fused import extend_seed_desc_np
+
+            def extend_fn(desc):
+                return extend_seed_desc_np(
+                    self.didx, qd, desc, self.mat, opt.o_del,
+                    opt.e_del, opt.o_ins, opt.e_ins, opt.zdrop,
+                    self.extender.tmax, mesh=self.mesh)
+
+            planned = plan_batch_native(
+                opt, fmi, chunk, intv_rows, positions, extend_fn,
+                qmax=self.extender.qmax, tmax=self.extender.tmax)
+            if planned is not None:
+                regs_lists, n_waves, n_jobs = planned
+                self.extender.n_waves += n_waves
+                self.extender.n_jobs += n_jobs
+                return regs_lists
         # chain stage: native C++ when available (byte-equal; see
         # tests/test_native_emit.py::test_chain_batch_equality)
         from ..host.native_emit import chain_batch_native

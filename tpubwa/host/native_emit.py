@@ -169,6 +169,139 @@ def emit_batch_native(opt: MemOpt, fmi, reads: Sequence,
     return None
 
 
+def _flat_intv_pos(reads, intv_rows, positions):
+    """Shared packing: flat interval + position arrays (the native
+    chain/plan ABI).  positions may be the flat (pos, cnt) fast form
+    or nested per-read lists."""
+    counts = np.asarray([len(rows) for rows in intv_rows], np.int64)
+    n_intv = int(counts.sum())
+    if n_intv:
+        intv = np.ascontiguousarray(np.concatenate(
+            [rows for rows in intv_rows if len(rows)]), np.int64)
+    else:
+        intv = np.zeros((1, 5), np.int64)
+    intv_off = np.zeros(len(reads) + 1, np.int64)
+    np.cumsum(counts, out=intv_off[1:])
+    if isinstance(positions, tuple):
+        pos, cnt = positions
+        pos = np.ascontiguousarray(pos, np.int64)
+        pos_off = np.zeros(n_intv + 1, np.int64)
+        np.cumsum(cnt, out=pos_off[1:])
+        if not len(pos):
+            pos = np.zeros(1, np.int64)
+    else:
+        pos_chunks = []
+        pos_off = [0]
+        for ri, rows in enumerate(intv_rows):
+            for ii in range(len(rows)):
+                p = positions[ri][ii]
+                pos_chunks.append(np.ascontiguousarray(p, np.int64))
+                pos_off.append(pos_off[-1] + len(p))
+        pos = np.concatenate(pos_chunks) if pos_chunks \
+            else np.zeros(1, np.int64)
+        pos_off = np.asarray(pos_off, np.int64)
+    return intv, intv_off, pos, pos_off
+
+
+def plan_batch_native(opt: MemOpt, fmi, reads: Sequence, intv_rows,
+                      positions, extend_fn, qmax: int = 255,
+                      tmax: int = 512):
+    """Native chain + extension planning + region post for a chunk
+    (bwacore.cpp planner).  extend_fn(desc [n, 11] int64) -> int32
+    [n, 16] runs one device wave.  Returns per-read lists of AlnReg,
+    or None when the native path is unavailable."""
+    import os
+    if os.environ.get("TPUBWA_NO_NATIVE_PLAN"):
+        return None
+    lib = _lib()
+    if lib is None:
+        return None
+    from .regions import AlnReg
+    bnt = fmi.bnt
+    bc = _bnt_cache(bnt)
+    civ2 = np.asarray([
+        opt.a, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, opt.w,
+        opt.pen_clip5, opt.pen_clip3, opt.zdrop, opt.max_chain_gap,
+        opt.min_seed_len, opt.min_chain_weight, opt.max_chain_extend,
+        opt.max_occ, qmax, tmax], np.int64)
+    cdv2 = np.asarray([opt.mask_level, opt.drop_ratio,
+                       opt.mask_level_redun], np.float64)
+    mat = np.ascontiguousarray(opt.scoring_matrix(), np.int32)
+    seq_blob, seq_off = _blob(
+        [np.ascontiguousarray(r.seq, np.uint8).tobytes() for r in reads])
+    intv, intv_off, pos, pos_off = _flat_intv_pos(reads, intv_rows,
+                                                  positions)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    dp = ctypes.POINTER(ctypes.c_double)
+
+    def P(a, t):
+        return a.ctypes.data_as(t)
+
+    h = lib.tpubwa_plan_init(
+        P(civ2, i64p), P(cdv2, dp), P(mat, i32p),
+        P(bc.codes, u8p), ctypes.c_int64(bnt.l_pac),
+        ctypes.c_int32(bc.n), P(bc.ann_off, i64p),
+        P(bc.ann_len, i64p), P(bc.ann_alt, u8p),
+        ctypes.c_char_p(bc.name_blob), P(bc.name_off, i64p),
+        ctypes.c_int64(len(reads)), ctypes.c_char_p(seq_blob),
+        P(seq_off, i64p), P(intv, i64p), P(intv_off, i64p),
+        P(pos, i64p), P(pos_off, i64p))
+    h = ctypes.c_void_p(h)
+    if not h:
+        return None
+    try:
+        cap = len(reads) + 8
+        desc = np.zeros((cap, 11), np.int64)
+        n_waves = n_jobs = 0
+        while True:
+            n = lib.tpubwa_plan_next_wave(h, P(desc, i64p),
+                                          ctypes.c_int64(cap))
+            if n == -1:
+                cap *= 2
+                desc = np.zeros((cap, 11), np.int64)
+                continue
+            if n == 0:
+                break
+            rows = np.ascontiguousarray(extend_fn(desc[:n]), np.int32)
+            lib.tpubwa_plan_feed(h, P(rows, i32p))
+            n_waves += 1
+            n_jobs += int(n)
+        rcap = max(4 * len(reads), 64)
+        while True:
+            reg_cnt = np.zeros(len(reads), np.int32)
+            reg_iv = np.zeros((rcap, 18), np.int64)
+            reg_fr = np.zeros(rcap, np.float64)
+            total = lib.tpubwa_plan_regions(
+                h, P(reg_cnt, i32p), P(reg_iv, i64p), P(reg_fr, dp),
+                ctypes.c_int64(rcap))
+            if total >= 0:
+                break
+            rcap = -total
+    finally:
+        lib.tpubwa_plan_free(h)
+    out: List[list] = []
+    k = 0
+    for ri in range(len(reads)):
+        regs = []
+        for _ in range(int(reg_cnt[ri])):
+            p = reg_iv[k]
+            r = AlnReg(rb=int(p[0]), re=int(p[1]), qb=int(p[2]),
+                       qe=int(p[3]), rid=int(p[4]), score=int(p[5]),
+                       truesc=int(p[6]), sub=int(p[7]),
+                       alt_sc=int(p[8]), csub=int(p[9]),
+                       sub_n=int(p[10]), w=int(p[11]),
+                       seedcov=int(p[12]), secondary=int(p[13]),
+                       secondary_all=int(p[14]), seedlen0=int(p[15]),
+                       n_comp=int(p[16]), is_alt=int(p[17]),
+                       frac_rep=float(reg_fr[k]))
+            regs.append(r)
+            k += 1
+        out.append(regs)
+    return out, n_waves, n_jobs
+
+
 def chain_batch_native(opt: MemOpt, fmi, reads: Sequence, intv_rows,
                        positions) -> Optional[List[list]]:
     """Native mem_chain + chain_flt + flt_chained_seeds for a chunk.

@@ -149,5 +149,16 @@ def load_bwacore():
                                      deps=("ksw.cpp",))))
         lib.tpubwa_emit_batch.restype = ctypes.c_int64
         lib.tpubwa_chain_batch.restype = ctypes.c_int
+        lib.tpubwa_plan_init.restype = ctypes.c_void_p
+        lib.tpubwa_plan_next_wave.restype = ctypes.c_int64
+        lib.tpubwa_plan_next_wave.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64]
+        lib.tpubwa_plan_feed.restype = None
+        lib.tpubwa_plan_feed.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
+        lib.tpubwa_plan_regions.restype = ctypes.c_int64
+        lib.tpubwa_plan_free.restype = None
+        lib.tpubwa_plan_free.argtypes = [ctypes.c_void_p]
         _bwacore_lib = lib
     return _bwacore_lib

@@ -1447,3 +1447,562 @@ int tpubwa_chain_batch(
 }
 
 }  // extern "C"
+
+// ---- native extension planner (bwamem.c:mem_chain2aln/~700 +
+// mem_sort_dedup_patch/~560; port of host/regions.py:extension_plan /
+// sort_dedup_patch) ----------------------------------------------------
+//
+// The Python wave dispatcher advanced one generator per read, paying
+// interpreter time per seed per wave; this context does the chaining
+// (reusing the code above), the per-seed skip test, the fused-row
+// consumption, the oversize scalar fallback (native ksw_extend), and
+// the region dedup/patch — Python only shuttles the descriptor arrays
+// to the device and the result rows back.
+
+namespace {
+
+struct PlanOpt {
+    i64 a, o_del, e_del, o_ins, e_ins, w, pen_clip5, pen_clip3, zdrop,
+        max_chain_gap, min_seed_len, min_chain_weight, max_chain_extend,
+        max_occ, qmax, tmax;
+    double mask_level, drop_ratio, mask_level_redun;
+    const int32_t* mat;
+
+    i64 max_gap(i64 qlen) const {  // cal_max_gap (bwamem.c:~650)
+        i64 l_del = (i64)((double)(qlen * a - o_del) / (double)e_del
+                          + 1.0);
+        i64 l_ins = (i64)((double)(qlen * a - o_ins) / (double)e_ins
+                          + 1.0);
+        i64 l = mx(mx(l_del, l_ins), (i64)1);
+        return mn(l, w << 1);
+    }
+};
+
+struct ChainState {
+    Chain ch;
+    i64 rmax0 = 0, rmax1 = 0;
+    std::vector<int> srt;       // seed indexes by (score, idx) asc
+    std::vector<char> alive;
+    int k = -1;                 // current srt position (descending)
+};
+
+struct ReadState {
+    std::vector<ChainState> chains;
+    size_t ci = 0;
+    std::vector<Reg> av;
+    bool done = false;
+};
+
+struct PlanCtx {
+    PlanOpt o;
+    Bnt bnt;
+    std::vector<const u8*> qs;
+    std::vector<i64> ql;
+    std::vector<ReadState> reads;
+    // jobs of the outstanding wave: (read, seed_idx)
+    std::vector<std::pair<int, int>> wave;
+    bool error = false;
+};
+
+// mirrors regions.py:extension_plan's fused-row consumption: row is
+// the packed [16] int32 result (extend_fused.py layout)
+void consume_row(const PlanOpt& o, ChainState& cs, const Seed& s,
+                 i64 l_query, const int32_t* row,
+                 std::vector<Reg>& av) {
+    Reg a{};
+    a.rid = cs.ch.rid;
+    a.w = o.w;
+    a.score = -1; a.truesc = -1;
+    a.secondary = -1; a.secondary_all = -1;
+    a.n_comp = 1;
+    a.frac_rep = cs.ch.frac_rep;
+    i64 aw0 = o.w, aw1 = o.w;
+    i64 qe = s.qbeg + s.len;
+    i64 re_off = s.rbeg + s.len - cs.rmax0;
+    i64 qlen_r = l_query - qe;
+    if (s.qbeg) {
+        a.score = row[0];
+        i64 qle = row[1], tle = row[2], gtle = row[3], gscore = row[4];
+        aw0 = row[12];
+        if (gscore <= 0 || gscore <= a.score - o.pen_clip5) {
+            a.qb = s.qbeg - qle;
+            a.rb = s.rbeg - tle;
+            a.truesc = a.score;
+        } else {
+            a.qb = 0;
+            a.rb = s.rbeg - gtle;
+            a.truesc = gscore;
+        }
+    } else {
+        a.score = a.truesc = s.len * o.a;
+        a.qb = 0;
+        a.rb = s.rbeg;
+    }
+    if (qlen_r) {
+        i64 sc0 = a.score;
+        a.score = row[6];
+        i64 qle = row[7], tle = row[8], gtle = row[9], gscore = row[10];
+        aw1 = row[13];
+        if (gscore <= 0 || gscore <= a.score - o.pen_clip3) {
+            a.qe = qe + qle;
+            a.re = cs.rmax0 + re_off + tle;
+            a.truesc += a.score - sc0;
+        } else {
+            a.qe = l_query;
+            a.re = cs.rmax0 + re_off + gtle;
+            a.truesc += gscore - sc0;
+        }
+    } else {
+        a.qe = l_query;
+        a.re = s.rbeg + s.len;
+    }
+    a.seedcov = 0;
+    for (const Seed& t : cs.ch.seeds)
+        if (t.qbeg >= a.qb && t.qbeg + t.len <= a.qe
+                && t.rbeg >= a.rb && t.rbeg + t.len <= a.re)
+            a.seedcov += t.len;
+    a.w = mx(aw0, aw1);
+    a.seedlen0 = s.len;
+    av.push_back(a);
+}
+
+// native scalar_fused (extend_fused.py:scalar_fused): the oversize
+// fallback — upstream trial loops with the native ksw_extend
+void scalar_fused_row(const PlanCtx* ctx, const ChainState& cs,
+                      const Seed& s, const u8* query, i64 l_query,
+                      int32_t* row) {
+    const PlanOpt& o = ctx->o;
+    for (int i = 0; i < 16; ++i) row[i] = 0;
+    i64 qe = s.qbeg + s.len;
+    i64 qlen_r = l_query - qe;
+    int32_t score = -1;
+    i64 aw0 = o.w, aw1 = o.w;
+    int32_t out6[6];
+    if (s.qbeg) {
+        std::vector<u8> qsv(query, query + s.qbeg);
+        std::reverse(qsv.begin(), qsv.end());
+        i64 tlen_l = s.rbeg - cs.rmax0;
+        std::vector<u8> tsv = ctx->bnt.get_seq(cs.rmax0, s.rbeg);
+        std::reverse(tsv.begin(), tsv.end());
+        (void)tlen_l;
+        for (int trial = 0; trial < 2; ++trial) {
+            int32_t prev = score;
+            aw0 = o.w << trial;
+            tpubwa_ksw_extend((int32_t)s.qbeg, qsv.data(),
+                              (int32_t)tsv.size(), tsv.data(), 5,
+                              o.mat, (int32_t)o.o_del, (int32_t)o.e_del,
+                              (int32_t)o.o_ins, (int32_t)o.e_ins,
+                              (int32_t)aw0, (int32_t)o.pen_clip5,
+                              (int32_t)o.zdrop,
+                              (int32_t)(s.len * o.a), out6);
+            score = out6[0];
+            for (int i = 0; i < 6; ++i) row[i] = out6[i];
+            if (score == prev
+                    || out6[5] < (aw0 >> 1) + (aw0 >> 2)) break;
+        }
+    }
+    int32_t sc0 = s.qbeg ? score : (int32_t)(s.len * o.a);
+    score = sc0;
+    if (qlen_r) {
+        std::vector<u8> tsv = ctx->bnt.get_seq(s.rbeg + s.len,
+                                               cs.rmax1);
+        for (int trial = 0; trial < 2; ++trial) {
+            int32_t prev = score;
+            aw1 = o.w << trial;
+            tpubwa_ksw_extend((int32_t)qlen_r, query + qe,
+                              (int32_t)tsv.size(), tsv.data(), 5,
+                              o.mat, (int32_t)o.o_del, (int32_t)o.e_del,
+                              (int32_t)o.o_ins, (int32_t)o.e_ins,
+                              (int32_t)aw1, (int32_t)o.pen_clip3,
+                              (int32_t)o.zdrop, sc0, out6);
+            score = out6[0];
+            for (int i = 0; i < 6; ++i) row[6 + i] = out6[i];
+            if (score == prev
+                    || out6[5] < (aw1 >> 1) + (aw1 >> 2)) break;
+        }
+    }
+    row[12] = (int32_t)aw0;
+    row[13] = (int32_t)aw1;
+    row[14] = sc0;
+    row[15] = score;
+}
+
+// mem_patch_reg (regions.py:patch_reg)
+void patch_reg_n(const PlanCtx* ctx, const u8* query, const Reg& a,
+                 const Reg& b, i64* score_out, i64* w_out) {
+    const PlanOpt& o = ctx->o;
+    *score_out = 0; *w_out = 0;
+    i64 l_pac = ctx->bnt.l_pac;
+    if (a.rb < l_pac && b.rb >= l_pac) return;
+    if (a.qb >= b.qb || a.qe >= b.qe || a.re >= b.re) return;
+    i64 w = (a.re - b.rb) - (a.qe - b.qb);
+    if (w < 0) w = -w;
+    double r = (double)(a.re - b.rb) / (double)(b.re - a.rb)
+             - (double)(a.qe - b.qb) / (double)(b.qe - a.qb);
+    if (r < 0) r = -r;
+    if (a.re < b.rb || a.qe < b.qb) {
+        if (w > (o.w << 1) || r >= 0.05) return;
+    } else if (w > (o.w << 2) || r >= 0.10) {
+        return;
+    }
+    w += mx(a.w, b.w);
+    w = mn(w, o.w << 2);
+    i64 rb = a.rb, re = b.re;
+    int rid; i64 cb, ce;
+    ctx->bnt.fetch_bounds(rb, (rb + re) >> 1, re, &rid, &cb, &ce);
+    if (ce - cb != b.re - a.rb) return;
+    std::vector<u8> rseq = ctx->bnt.get_seq(cb, ce);
+    std::vector<u8> qv(query + a.qb, query + b.qe);
+    int32_t sc = 0;
+    int32_t n_cig = 0;
+    tpubwa_ksw_global(
+        (int32_t)(b.qe - a.qb), qv.data(), (int32_t)(ce - cb),
+        rseq.data(), 5, o.mat, (int32_t)o.o_del, (int32_t)o.e_del,
+        (int32_t)o.o_ins, (int32_t)o.e_ins, (int32_t)w,
+        /*want_cigar=*/0, &sc, nullptr, 0, &n_cig);
+    i64 q_s = (i64)((double)(b.qe - a.qb)
+                    / (double)((b.qe - b.qb) + (a.qe - a.qb))
+                    * (double)(b.score + a.score) + 0.499);
+    i64 r_s = (i64)((double)(b.re - a.rb)
+                    / (double)((b.re - b.rb) + (a.re - a.rb))
+                    * (double)(b.score + a.score) + 0.499);
+    if ((double)sc / (double)mx(q_s, r_s) < 0.90) return;
+    *score_out = sc;
+    *w_out = w;
+}
+
+// mem_sort_dedup_patch (regions.py:sort_dedup_patch)
+void sort_dedup_patch_n(const PlanCtx* ctx, const u8* query,
+                        std::vector<Reg>& regs) {
+    const PlanOpt& o = ctx->o;
+    size_t n = regs.size();
+    if (n <= 1) return;
+    std::stable_sort(regs.begin(), regs.end(),
+                     [](const Reg& x, const Reg& y) {
+                         return x.re < y.re;
+                     });
+    for (Reg& p : regs) p.n_comp = 1;
+    for (size_t i = 1; i < n; ++i) {
+        Reg& p = regs[i];
+        if (p.rid != regs[i - 1].rid
+                || p.rb >= regs[i - 1].re + o.max_chain_gap)
+            continue;
+        for (i64 j = (i64)i - 1; j >= 0; --j) {
+            Reg& q = regs[(size_t)j];
+            if (p.rid != q.rid || p.rb >= q.re + o.max_chain_gap)
+                break;
+            if (q.qe == q.qb) continue;  // excluded
+            i64 or_ = q.re - p.rb;
+            i64 oq = (q.qb < p.qb) ? (q.qe - p.qb) : (p.qe - q.qb);
+            i64 mr = mn(q.re - q.rb, p.re - p.rb);
+            i64 mq = mn(q.qe - q.qb, p.qe - p.qb);
+            if ((double)or_ > o.mask_level_redun * (double)mr
+                    && (double)oq > o.mask_level_redun * (double)mq) {
+                if (p.score < q.score) { p.qe = p.qb; break; }
+                q.qe = q.qb;
+            } else if (q.rb < p.rb) {
+                i64 sc, w;
+                patch_reg_n(ctx, query, q, p, &sc, &w);
+                if (sc > 0) {
+                    p.n_comp += q.n_comp + 1;
+                    p.seedcov = mx(p.seedcov, q.seedcov);
+                    p.sub = mx(p.sub, q.sub);
+                    p.csub = mx(p.csub, q.csub);
+                    p.qb = q.qb; p.rb = q.rb;
+                    p.truesc = p.score = sc;
+                    p.w = w;
+                    q.qe = q.qb;
+                }
+            }
+        }
+    }
+    regs.erase(std::remove_if(regs.begin(), regs.end(),
+                              [](const Reg& r) {
+                                  return r.qe <= r.qb;
+                              }), regs.end());
+    std::stable_sort(regs.begin(), regs.end(),
+                     [](const Reg& x, const Reg& y) {
+                         if (x.score != y.score)
+                             return x.score > y.score;
+                         if (x.rb != y.rb) return x.rb < y.rb;
+                         return x.qb < y.qb;
+                     });
+    for (size_t i = 1; i < regs.size(); ++i)
+        if (regs[i].score == regs[i - 1].score
+                && regs[i].rb == regs[i - 1].rb
+                && regs[i].qb == regs[i - 1].qb)
+            regs[i].qe = regs[i].qb;
+    regs.erase(std::remove_if(regs.begin(), regs.end(),
+                              [](const Reg& r) {
+                                  return r.qe <= r.qb;
+                              }), regs.end());
+}
+
+// skip test of mem_chain2aln (regions.py:extension_plan head)
+bool seed_skippable(const PlanOpt& o, const ChainState& cs,
+                    const Seed& s, i64 l_query,
+                    const std::vector<Reg>& av, int k) {
+    int hit = -1;
+    for (size_t i = 0; i < av.size(); ++i) {
+        const Reg& p = av[i];
+        if (s.rbeg < p.rb || s.rbeg + s.len > p.re || s.qbeg < p.qb
+                || s.qbeg + s.len > p.qe)
+            continue;
+        if ((double)(s.len - p.seedlen0) > 0.1 * (double)l_query)
+            continue;
+        i64 qd = s.qbeg - p.qb, rd = s.rbeg - p.rb;
+        i64 w = mn(o.max_gap(mn(qd, rd)), p.w);
+        if (qd - rd < w && rd - qd < w) { hit = (int)i; break; }
+        qd = p.qe - (s.qbeg + s.len);
+        rd = p.re - (s.rbeg + s.len);
+        w = mn(o.max_gap(mn(qd, rd)), p.w);
+        if (qd - rd < w && rd - qd < w) { hit = (int)i; break; }
+    }
+    if (hit < 0) return false;
+    // contained: extend only if a long-enough overlapping seed in this
+    // chain disagrees on the diagonal
+    for (size_t i2 = (size_t)k + 1; i2 < cs.srt.size(); ++i2) {
+        if (!cs.alive[(size_t)cs.srt[i2]]) continue;
+        const Seed& t = cs.ch.seeds[(size_t)cs.srt[i2]];
+        if ((double)t.len < (double)s.len * 0.95) continue;
+        if (s.qbeg <= t.qbeg
+                && s.qbeg + s.len - t.qbeg >= (s.len >> 2)
+                && t.qbeg - s.qbeg != t.rbeg - s.rbeg)
+            return false;
+        if (t.qbeg <= s.qbeg
+                && t.qbeg + t.len - s.qbeg >= (s.len >> 2)
+                && s.qbeg - t.qbeg != s.rbeg - t.rbeg)
+            return false;
+    }
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// civ2: a,o_del,e_del,o_ins,e_ins,w,pen_clip5,pen_clip3,zdrop,
+//       max_chain_gap,min_seed_len,min_chain_weight,max_chain_extend,
+//       max_occ,qmax,tmax
+// cdv2: mask_level, drop_ratio, mask_level_redun
+void* tpubwa_plan_init(
+    const i64* civ2, const double* cdv2, const int32_t* mat,
+    const u8* codes, i64 l_pac, int32_t n_anns, const i64* ann_off,
+    const i64* ann_len, const u8* ann_alt, const char* name_blob,
+    const i64* name_off,
+    i64 n_reads, const u8* seq_blob, const i64* seq_off,
+    const i64* intv, const i64* intv_off, const i64* pos,
+    const i64* pos_off) {
+    PlanCtx* ctx = new PlanCtx();
+    PlanOpt& o = ctx->o;
+    o.a = civ2[0]; o.o_del = civ2[1]; o.e_del = civ2[2];
+    o.o_ins = civ2[3]; o.e_ins = civ2[4]; o.w = civ2[5];
+    o.pen_clip5 = civ2[6]; o.pen_clip3 = civ2[7]; o.zdrop = civ2[8];
+    o.max_chain_gap = civ2[9]; o.min_seed_len = civ2[10];
+    o.min_chain_weight = civ2[11]; o.max_chain_extend = civ2[12];
+    o.max_occ = civ2[13]; o.qmax = civ2[14]; o.tmax = civ2[15];
+    o.mask_level = cdv2[0]; o.drop_ratio = cdv2[1];
+    o.mask_level_redun = cdv2[2];
+    o.mat = mat;
+    ctx->bnt = Bnt{codes, l_pac, n_anns, ann_off, ann_len, ann_alt,
+                   name_blob, name_off};
+    ctx->reads.resize((size_t)n_reads);
+    ctx->qs.resize((size_t)n_reads);
+    ctx->ql.resize((size_t)n_reads);
+
+    // run the existing chain stage (same code path as
+    // tpubwa_chain_batch, but keeping the Chain objects in C++)
+    i64 civ[11] = {o.a, o.o_del, o.e_del, o.o_ins, o.e_ins, o.w,
+                   o.max_chain_gap, o.min_seed_len, o.min_chain_weight,
+                   o.max_chain_extend, o.max_occ};
+    double cdv[2] = {o.mask_level, o.drop_ratio};
+    i64 n_pos = pos_off[intv_off[n_reads]];
+    i64 mc = mx(n_pos + 8, (i64)64), ms = mx(n_pos + 8, (i64)64);
+    std::vector<int32_t> chain_cnt((size_t)n_reads);
+    std::vector<i64> chain_meta((size_t)(mc * 3));
+    std::vector<double> chain_fr((size_t)mc);
+    std::vector<i64> seeds_flat((size_t)(ms * 4));
+    int rc = tpubwa_chain_batch(
+        civ, cdv, mat, codes, l_pac, n_anns, ann_off, ann_len, ann_alt,
+        name_blob, name_off, n_reads, seq_blob, seq_off, intv,
+        intv_off, pos, pos_off, chain_cnt.data(), chain_meta.data(),
+        chain_fr.data(), mc, seeds_flat.data(), ms);
+    if (rc != 0) { delete ctx; return nullptr; }
+
+    i64 l_pac2 = l_pac << 1;
+    i64 nc = 0, nsd = 0;
+    for (i64 ri = 0; ri < n_reads; ++ri) {
+        ReadState& rs = ctx->reads[(size_t)ri];
+        const u8* q = seq_blob + seq_off[ri];
+        i64 l_query = seq_off[ri + 1] - seq_off[ri];
+        ctx->qs[(size_t)ri] = q;
+        ctx->ql[(size_t)ri] = l_query;
+        for (int c = 0; c < chain_cnt[(size_t)ri]; ++c) {
+            ChainState cs;
+            cs.ch.rid = (int)chain_meta[(size_t)(nc * 3)];
+            cs.ch.is_alt = (int)chain_meta[(size_t)(nc * 3 + 1)];
+            i64 n_seeds = chain_meta[(size_t)(nc * 3 + 2)];
+            cs.ch.frac_rep = chain_fr[(size_t)nc];
+            ++nc;
+            for (i64 t = 0; t < n_seeds; ++t) {
+                const i64* sp = seeds_flat.data() + nsd * 4;
+                cs.ch.seeds.push_back(
+                    Seed{sp[0], sp[1], sp[2], sp[3]});
+                ++nsd;
+            }
+            if (cs.ch.seeds.empty()) continue;
+            // rmax window (extension_plan head)
+            i64 rmax0 = l_pac2, rmax1 = 0;
+            for (const Seed& t : cs.ch.seeds) {
+                i64 b = t.rbeg - (t.qbeg + o.max_gap(t.qbeg));
+                i64 e = t.rbeg + t.len + (l_query - t.qbeg - t.len)
+                        + o.max_gap(l_query - t.qbeg - t.len);
+                rmax0 = mn(rmax0, b);
+                rmax1 = mx(rmax1, e);
+            }
+            rmax0 = mx(rmax0, (i64)0);
+            rmax1 = mn(rmax1, l_pac2);
+            if (rmax0 < l_pac && l_pac < rmax1) {
+                if (cs.ch.seeds[0].rbeg < l_pac) rmax1 = l_pac;
+                else rmax0 = l_pac;
+            }
+            int rid; i64 cb, ce;
+            ctx->bnt.fetch_bounds(rmax0, cs.ch.seeds[0].rbeg, rmax1,
+                                  &rid, &cb, &ce);
+            if (rid != cs.ch.rid) ctx->error = true;
+            cs.rmax0 = cb;
+            cs.rmax1 = ce;
+            cs.srt.resize(cs.ch.seeds.size());
+            for (size_t i = 0; i < cs.srt.size(); ++i)
+                cs.srt[i] = (int)i;
+            std::stable_sort(cs.srt.begin(), cs.srt.end(),
+                             [&cs](int x, int y) {
+                                 return cs.ch.seeds[(size_t)x].score
+                                      < cs.ch.seeds[(size_t)y].score;
+                             });
+            cs.alive.assign(cs.ch.seeds.size(), 1);
+            cs.k = (int)cs.srt.size() - 1;
+            rs.chains.push_back(std::move(cs));
+        }
+    }
+    if (ctx->error) { delete ctx; return nullptr; }
+    return ctx;
+}
+
+// Emit up to one descriptor per read: desc_out rows of 11 i64
+// (read_row, qbeg, slen, l_query, rbeg, rmax0, rmax1, w, h0, pen5,
+// pen3).  Oversize and both-sides-empty seeds are resolved inline
+// (native scalar / direct).  Returns the wave size (0 = all done),
+// or -1 when cap is too small.
+i64 tpubwa_plan_next_wave(void* h, i64* desc_out, i64 cap) {
+    PlanCtx* ctx = (PlanCtx*)h;
+    const PlanOpt& o = ctx->o;
+    ctx->wave.clear();
+    i64 n = 0;
+    for (size_t ri = 0; ri < ctx->reads.size(); ++ri) {
+        ReadState& rs = ctx->reads[ri];
+        if (rs.done) continue;
+        const u8* query = ctx->qs[ri];
+        i64 l_query = ctx->ql[ri];
+        bool emitted = false;
+        while (!emitted) {
+            if (rs.ci >= rs.chains.size()) {
+                rs.done = true;
+                break;
+            }
+            ChainState& cs = rs.chains[rs.ci];
+            if (cs.k < 0) { ++rs.ci; continue; }
+            int si = cs.srt[(size_t)cs.k];
+            const Seed& s = cs.ch.seeds[(size_t)si];
+            if (seed_skippable(o, cs, s, l_query, rs.av, cs.k)) {
+                cs.alive[(size_t)si] = 0;
+                --cs.k;
+                continue;
+            }
+            i64 qe = s.qbeg + s.len;
+            i64 qlen_r = l_query - qe;
+            i64 tlen_l = s.qbeg ? (s.rbeg - cs.rmax0) : 0;
+            i64 tlen_r = qlen_r ? (cs.rmax1 - s.rbeg - s.len) : 0;
+            if (s.qbeg == 0 && qlen_r == 0) {
+                // both sides empty: no DP needed
+                int32_t row[16] = {0};
+                consume_row(o, cs, s, l_query, row, rs.av);
+                --cs.k;
+                continue;
+            }
+            if (s.qbeg > o.qmax || qlen_r > o.qmax || tlen_l > o.tmax
+                    || tlen_r > o.tmax) {
+                int32_t row[16];
+                scalar_fused_row(ctx, cs, s, query, l_query, row);
+                consume_row(o, cs, s, l_query, row, rs.av);
+                --cs.k;
+                continue;
+            }
+            if (n >= cap) return -1;  // caller re-sizes
+            i64* d = desc_out + n * 11;
+            d[0] = (i64)ri; d[1] = s.qbeg; d[2] = s.len;
+            d[3] = l_query; d[4] = s.rbeg; d[5] = cs.rmax0;
+            d[6] = cs.rmax1; d[7] = o.w; d[8] = s.len * o.a;
+            d[9] = o.pen_clip5; d[10] = o.pen_clip3;
+            ++n;
+            ctx->wave.emplace_back((int)ri, si);
+            emitted = true;
+        }
+    }
+    return n;
+}
+
+// rows: int32 [wave_n, 16] device results, in wave order
+void tpubwa_plan_feed(void* h, const int32_t* rows) {
+    PlanCtx* ctx = (PlanCtx*)h;
+    for (size_t j = 0; j < ctx->wave.size(); ++j) {
+        int ri = ctx->wave[j].first;
+        int si = ctx->wave[j].second;
+        ReadState& rs = ctx->reads[(size_t)ri];
+        ChainState& cs = rs.chains[rs.ci];
+        consume_row(ctx->o, cs, cs.ch.seeds[(size_t)si],
+                    ctx->ql[(size_t)ri], rows + j * 16, rs.av);
+        --cs.k;
+    }
+    ctx->wave.clear();
+}
+
+// finalize: per-read sort_dedup_patch + ALT flag; writes reg_cnt
+// [n_reads], reg_iv [cap, 18] (native_emit._REG_FIELDS order) and
+// reg_fr [cap].  Returns total rows, or -total if cap is too small.
+i64 tpubwa_plan_regions(void* h, int32_t* reg_cnt, i64* reg_iv,
+                        double* reg_fr, i64 cap) {
+    PlanCtx* ctx = (PlanCtx*)h;
+    i64 total = 0;
+    for (size_t ri = 0; ri < ctx->reads.size(); ++ri) {
+        ReadState& rs = ctx->reads[ri];
+        sort_dedup_patch_n(ctx, ctx->qs[ri], rs.av);
+        for (Reg& r : rs.av)
+            if (r.rid >= 0 && ctx->bnt.ann_alt[r.rid]) r.is_alt = 1;
+        total += (i64)rs.av.size();
+    }
+    if (total > cap) return -total;
+    i64 k = 0;
+    for (size_t ri = 0; ri < ctx->reads.size(); ++ri) {
+        ReadState& rs = ctx->reads[ri];
+        reg_cnt[ri] = (int32_t)rs.av.size();
+        for (const Reg& r : rs.av) {
+            i64* p = reg_iv + k * 18;
+            p[0] = r.rb; p[1] = r.re; p[2] = r.qb; p[3] = r.qe;
+            p[4] = r.rid; p[5] = r.score; p[6] = r.truesc;
+            p[7] = r.sub; p[8] = r.alt_sc; p[9] = r.csub;
+            p[10] = r.sub_n; p[11] = r.w; p[12] = r.seedcov;
+            p[13] = r.secondary; p[14] = r.secondary_all;
+            p[15] = r.seedlen0; p[16] = r.n_comp; p[17] = r.is_alt;
+            reg_fr[k] = r.frac_rep;
+            ++k;
+        }
+    }
+    return total;
+}
+
+void tpubwa_plan_free(void* h) {
+    delete (PlanCtx*)h;
+}
+
+}  // extern "C"
