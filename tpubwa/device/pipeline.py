@@ -125,23 +125,27 @@ class DeviceAligner:
         Lp = max(Lp, 32)
         arr = np.full((max(len(reads), pad_to), Lp), 4, np.uint8)
         lens = np.zeros(max(len(reads), pad_to), np.int32)
-        for i, r in enumerate(reads):
-            arr[i, :r.l_seq] = r.seq
-            lens[i] = r.l_seq
+        lens[:len(reads)] = [r.l_seq for r in reads]
+        if len(reads) and (lens[:len(reads)] == lens[0]).all():
+            # uniform read length (the overwhelmingly common case):
+            # one C-level stack instead of a per-read assignment loop
+            arr[:len(reads), :lens[0]] = np.stack(
+                [r.seq for r in reads])
+        else:
+            for i, r in enumerate(reads):
+                arr[i, :r.l_seq] = r.seq
         return arr, lens
 
-    def _sa_positions(self, per_read_intvs):
+    def _sa_positions(self, intv):
         """Subsample ranks per bwa protocol (mem_chain head: step =
         occ/max_occ, up to max_occ samples), one batched device
-        lookup.  Fully vectorized; returns FLAT (pos, cnt) — positions
-        for all intervals of the chunk in (read, interval-row) order
-        plus the per-interval sample counts.  Avoids building ~1e5
-        nested Python lists per chunk on the single host core."""
-        cnt0 = np.zeros(0, np.int64)
-        if sum(len(rows) for rows in per_read_intvs) == 0:
-            return np.zeros(0, np.int64), cnt0
-        flat = np.concatenate([rows for rows in per_read_intvs
-                               if len(rows)]).astype(np.int64)
+        lookup.  Fully vectorized over the FLAT interval rows; returns
+        flat (pos, cnt) — positions for all intervals of the chunk in
+        (read, interval-row) order plus the per-interval sample
+        counts."""
+        flat, _counts = intv
+        if not len(flat):
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
         x0 = flat[:, 0]
         size = flat[:, 2]
         step = np.where(size > self.opt.max_occ,
@@ -173,11 +177,14 @@ class DeviceAligner:
         while pad < len(chunk):
             pad <<= 1
         arr, lens = self._pack(chunk, pad)
-        rows = collect_intv_device(self.opt, self.didx, arr, lens,
-                                   fmi=self.fmi,
-                                   put_sharded=self.put_sharded,
-                                   put_repl=self.put_repl)[:len(chunk)]
-        return rows, self._sa_positions(rows)
+        flat, frid = collect_intv_device(self.opt, self.didx, arr,
+                                         lens, fmi=self.fmi,
+                                         put_sharded=self.put_sharded,
+                                         put_repl=self.put_repl,
+                                         return_flat=True)
+        counts = np.bincount(frid, minlength=arr.shape[0])[:len(chunk)]
+        intv = (flat, counts)
+        return intv, self._sa_positions(intv)
 
     def _chunk_regs(self, chunk, intv_rows, positions):
         """Host chaining + device extension waves + region post for one
@@ -218,9 +225,10 @@ class DeviceAligner:
         from ..host.native_emit import chain_batch_native
         chains_per_read = chain_batch_native(opt, fmi, chunk, intv_rows,
                                              positions)
-        nested = None
+        nested = per_read_intv = None
         if chains_per_read is None:
-            nested = _nest_positions(intv_rows, positions)
+            per_read_intv = _nest_intv(intv_rows)
+            nested = _nest_positions(per_read_intv, positions)
         all_regs: List[List[AlnReg]] = []
         plans_by_read = []
         for ri, read in enumerate(chunk):
@@ -228,7 +236,7 @@ class DeviceAligner:
                 chains = chains_per_read[ri]
             else:
                 chains = mem_chain(opt, fmi, read.seq,
-                                   intvs=intv_rows[ri],
+                                   intvs=per_read_intv[ri],
                                    positions=nested[ri])
                 chains = chain_flt(opt, chains)
                 flt_chained_seeds(opt, fmi.bnt, read.l_seq, read.seq,
@@ -294,14 +302,21 @@ class DeviceAligner:
         return self.align_batch(reads)
 
 
-def _nest_positions(intv_rows, positions):
+def _nest_intv(intv):
+    """Flat (rows, per-read counts) -> per-read row arrays (the
+    scalar mem_chain contract; fallback path only)."""
+    flat, counts = intv
+    return np.split(flat, np.cumsum(counts)[:-1])
+
+
+def _nest_positions(per_read_intv, positions):
     """Flat (pos, cnt) -> per-read lists of per-interval position
     arrays (the scalar mem_chain contract; fallback path only)."""
     pos, cnt = positions
     ends = np.cumsum(cnt)
     out = []
     ii = 0
-    for rows in intv_rows:
+    for rows in per_read_intv:
         per = []
         for _ in range(len(rows)):
             per.append(pos[int(ends[ii] - cnt[ii]):int(ends[ii])])

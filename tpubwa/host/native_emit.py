@@ -171,15 +171,25 @@ def emit_batch_native(opt: MemOpt, fmi, reads: Sequence,
 
 def _flat_intv_pos(reads, intv_rows, positions):
     """Shared packing: flat interval + position arrays (the native
-    chain/plan ABI).  positions may be the flat (pos, cnt) fast form
-    or nested per-read lists."""
-    counts = np.asarray([len(rows) for rows in intv_rows], np.int64)
-    n_intv = int(counts.sum())
-    if n_intv:
-        intv = np.ascontiguousarray(np.concatenate(
-            [rows for rows in intv_rows if len(rows)]), np.int64)
+    chain/plan ABI).  intv_rows is either the flat (rows [n,5],
+    per-read counts) fast form or nested per-read lists; positions is
+    the flat (pos, cnt) fast form or nested lists."""
+    if isinstance(intv_rows, tuple):
+        flat, counts = intv_rows
+        intv = np.ascontiguousarray(flat, np.int64)
+        counts = np.asarray(counts, np.int64)
+        n_intv = int(counts.sum())
+        if not n_intv:
+            intv = np.zeros((1, 5), np.int64)
     else:
-        intv = np.zeros((1, 5), np.int64)
+        counts = np.asarray([len(rows) for rows in intv_rows],
+                            np.int64)
+        n_intv = int(counts.sum())
+        if n_intv:
+            intv = np.ascontiguousarray(np.concatenate(
+                [rows for rows in intv_rows if len(rows)]), np.int64)
+        else:
+            intv = np.zeros((1, 5), np.int64)
     intv_off = np.zeros(len(reads) + 1, np.int64)
     np.cumsum(counts, out=intv_off[1:])
     if isinstance(positions, tuple):
@@ -321,35 +331,8 @@ def chain_batch_native(opt: MemOpt, fmi, reads: Sequence, intv_rows,
     mat = np.ascontiguousarray(opt.scoring_matrix(), np.int32)
     seq_blob, seq_off = _blob(
         [np.ascontiguousarray(r.seq, np.uint8).tobytes() for r in reads])
-    counts = np.asarray([len(rows) for rows in intv_rows], np.int64)
-    n_intv = int(counts.sum())
-    if n_intv:
-        intv = np.ascontiguousarray(np.concatenate(
-            [rows for rows in intv_rows if len(rows)]), np.int64)
-    else:
-        intv = np.zeros((1, 5), np.int64)
-    intv_off = np.zeros(len(reads) + 1, np.int64)
-    np.cumsum(counts, out=intv_off[1:])
-    if isinstance(positions, tuple):
-        # flat fast path: (pos, per-interval sample counts) in
-        # (read, interval-row) order — no nested re-flattening
-        pos, cnt = positions
-        pos = np.ascontiguousarray(pos, np.int64)
-        pos_off = np.zeros(n_intv + 1, np.int64)
-        np.cumsum(cnt, out=pos_off[1:])
-        if not len(pos):
-            pos = np.zeros(1, np.int64)
-    else:
-        pos_chunks = []
-        pos_off = [0]
-        for ri, rows in enumerate(intv_rows):
-            for ii in range(len(rows)):
-                p = positions[ri][ii]
-                pos_chunks.append(np.ascontiguousarray(p, np.int64))
-                pos_off.append(pos_off[-1] + len(p))
-        pos = np.concatenate(pos_chunks) if pos_chunks \
-            else np.zeros(1, np.int64)
-        pos_off = np.asarray(pos_off, np.int64)
+    intv, intv_off, pos, pos_off = _flat_intv_pos(reads, intv_rows,
+                                                  positions)
     n_pos = int(pos_off[-1])
     mc = max(n_pos + 8, 64)
     ms = max(n_pos + 8, 64)
