@@ -77,37 +77,55 @@ def simulate(fmi, n_pairs, read_len, rng):
     return reads
 
 
-def kernel_gcups(log):
-    """Raw Pallas extension kernel throughput (dense 100x200 jobs)."""
+def kernel_gcups(log, reps=16):
+    """Raw Pallas extension kernel throughput (dense 100x200 jobs).
+
+    The tunneled chip costs ~7-40 ms PER DISPATCH, so timing separate
+    launches measures the link, not the kernel: the reps are CHAINED
+    inside one jitted program via a data dependency XLA cannot fold
+    away (result lane 127 is always 0 and is written into an unused
+    param lane), so one dispatch covers `reps` kernel executions."""
+    import functools
     import jax
     import jax.numpy as jnp
-    from tpubwa.device.extend_pallas import extend_batch_pallas, LANES
+    from tpubwa.device.extend_pallas import extend_batch_pallas
     rng = np.random.default_rng(0)
     N, QL, TL, TMAX = 512, 100, 200, 256
     tpl = rng.integers(0, 4, TL + N).astype(np.int32)
-    q = np.full((N, LANES), 4, np.int32)
+    q = np.full((N, 128), 4, np.int32)
     t = np.full((N, TMAX), 4, np.int32)
     p = np.zeros((N, 128), np.int32)
     for i in range(N):
         t[i, :TL] = tpl[i:i + TL]
         q[i, :QL] = tpl[i:i + QL]
         p[i, :5] = (QL, TL, 60, 100, 5)
-    dev = jax.devices()[0]
-    qj, tj, pj = (jax.device_put(jnp.asarray(x), dev) for x in (q, t, p))
     interp = jax.default_backend() not in ("tpu",)
-    r = extend_batch_pallas(qj, tj, pj, 1, 4, 6, 1, 6, 1, 100, TMAX,
-                            interp)
-    r.block_until_ready()
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chain(qj, tj, pj, k):
+        out = None
+        for _ in range(k):
+            out = extend_batch_pallas(qj, tj, pj, 1, 4, 6, 1, 6, 1,
+                                      100, TMAX, interp)
+            pj = pj.at[:, 6].set(out[:, 127])  # always 0: real dep,
+            # no semantic change
+        return out
+
+    qj, tj, pj = (jnp.asarray(x) for x in (q, t, p))
+    np.asarray(chain(qj, tj, pj, 1))      # compile 1-rep
+    np.asarray(chain(qj, tj, pj, reps))   # compile k-rep
     t0 = time.perf_counter()
-    reps = 20
-    for _ in range(reps):
-        r = extend_batch_pallas(qj, tj, pj, 1, 4, 6, 1, 6, 1, 100,
-                                TMAX, interp)
-    np.asarray(r)  # D2H sync (block_until_ready is unreliable on axon)
-    dt = (time.perf_counter() - t0) / reps
+    r1 = chain(qj, tj, pj, 1)
+    np.asarray(r1)
+    t1 = time.perf_counter()
+    rk = chain(qj, tj, pj, reps)
+    np.asarray(rk)  # D2H sync (block_until_ready unreliable on axon)
+    t2 = time.perf_counter()
+    # marginal kernel time, dispatch/transfer overhead removed
+    dt = max(((t2 - t1) - (t1 - t0)) / (reps - 1), 1e-9)
     gcups = N * QL * TL / dt / 1e9
     log(f"[bench] extension kernel: {dt * 1e3:.2f} ms / {N} jobs "
-        f"=> {gcups:.1f} GCUPS (device-resident)")
+        f"=> {gcups:.1f} GCUPS (chained on device, link excluded)")
     return gcups
 
 
@@ -188,12 +206,18 @@ def main():
         if results and time.time() - t_start > 240:
             break
         attempts += 1
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--inner"],
-            stdout=subprocess.PIPE, text=True)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                stdout=subprocess.PIPE, text=True, timeout=420)
+        except subprocess.TimeoutExpired:
+            log(f"[bench] attempt {attempts} timed out (wedged tunnel)")
+            time.sleep(20)
+            continue
         out = r.stdout.strip().splitlines()
         if r.returncode == 0 and out and out[-1].startswith("{"):
             results.append(json.loads(out[-1]))
+            time.sleep(15)  # chip grant release (docs/PERF_NOTES.md)
         else:
             log(f"[bench] attempt {attempts} failed (rc={r.returncode})")
             time.sleep(30)
