@@ -114,7 +114,9 @@ class DeviceAligner:
         # CONSTANT, so XLA compiles each program exactly once per
         # read-length bucket instead of once per batch size (compiles
         # are ~10 s each — they dominated wall time before this).
-        self.chunk_reads = 8192
+        import os as _os
+        self.chunk_reads = int(_os.environ.get("TPUBWA_CHUNK_READS",
+                                               8192))
 
     # -------------------------------------------------------------
     def _pack(self, reads: Sequence[Read], pad_to: int):

@@ -383,8 +383,17 @@ def rounds12_split(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         nontriv = prev_ok & (prevc <= 3)
         rows_out, rids_out, redo = [], [], []
         bufs = []
-        for sel in (~nontriv, nontriv):
-            idx = np.flatnonzero(sel)
+        MACH = 8192  # machines past 8192 lanes scale super-linearly
+        groups = [np.flatnonzero(~nontriv)]
+        nt = np.flatnonzero(nontriv)
+        if len(nt) > MACH:
+            # sort by x (the span bound) so each sub-machine's rounds
+            # track ITS jobs' spans instead of the global max
+            nt = nt[np.argsort(-jx[nt], kind="stable")]
+            groups += [nt[s:s + MACH] for s in range(0, len(nt), MACH)]
+        else:
+            groups.append(nt)
+        for idx in groups:
             if not len(idx):
                 bufs.append(None)
                 continue
@@ -449,6 +458,9 @@ def rounds12_split(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
     job_x = ((r1_rows[jsel, 3] + r1_rows[jsel, 4]) >> 1) \
         .astype(np.int32)
     job_mi = (r1_rows[jsel, 2] + 1).astype(npdt)
+    # NOTE: splitting THIS fwd machine into 8192-lane groups was
+    # measured slower (the groups serialize on their syncs); only the
+    # bwd machines benefit from the 8192 cap (bwd_all)
     snap2, meta2, ncalls2, ovfA2 = run_fwd(
         didx, qd, ld, job_rid, job_x, job_mi,
         np.ones(len(job_rid), bool), P, MAXC, put=put)
