@@ -217,7 +217,7 @@ def main():
         out = r.stdout.strip().splitlines()
         if r.returncode == 0 and out and out[-1].startswith("{"):
             results.append(json.loads(out[-1]))
-            time.sleep(15)  # chip grant release (docs/PERF_NOTES.md)
+            time.sleep(30)  # chip grant release (docs/PERF_NOTES.md)
         else:
             log(f"[bench] attempt {attempts} failed (rc={r.returncode})")
             time.sleep(30)
