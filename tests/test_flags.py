@@ -130,3 +130,25 @@ def test_supp_mapq_kept_with_q(alt_index):
     # >= the capped one, and the records otherwise agree
     assert int(supp_keep[0][4]) >= int(supp_plain[0][4])
     assert supp_keep[0][3] == supp_plain[0][3]
+
+
+def test_H_header_lines(alt_index, tmp_path):
+    """-H inserts literal @-lines or lines from a file (fastmap.c -H)."""
+    d, codes, prefix = alt_index
+    fq = _reads(codes, d, seed=3)
+    header, _ = run_mem(prefix, fq, ["-H", "@CO\thello world"])
+    assert "@CO\thello world" in header
+    hf = tmp_path / "hdr.txt"
+    hf.write_text("@CO\tfrom-file-1\n@CO\tfrom-file-2\n")
+    header, _ = run_mem(prefix, fq, ["-H", str(hf)])
+    assert "@CO\tfrom-file-1" in header and "@CO\tfrom-file-2" in header
+
+
+def test_index_a_flag_accepted(tmp_path):
+    from tpubwa.cli import main_index
+    import numpy as np
+    rng = np.random.default_rng(2)
+    fa = tmp_path / "x.fa"
+    fa.write_text(">x\n" + "".join(
+        "ACGT"[c] for c in rng.integers(0, 4, 500)) + "\n")
+    assert main_index(["-a", "bwtsw", str(fa)]) == 0

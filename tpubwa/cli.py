@@ -84,6 +84,13 @@ def main_index(argv) -> int:
     ap = argparse.ArgumentParser(prog="tpubwa index")
     ap.add_argument("-p", dest="prefix", default=None,
                     help="index name prefix")
+    ap.add_argument("-a", dest="algo", default="auto",
+                    choices=["auto", "is", "bwtsw", "rb2"],
+                    help="SA construction algorithm (accepted for "
+                         "bwa CLI compatibility; the C SA-IS builder "
+                         "handles all genome sizes)")
+    ap.add_argument("-b", dest="block_size", type=int, default=None,
+                    help="accepted for bwa compatibility (unused)")
     ap.add_argument("--bwa-compat", action="store_true",
                     help="also write stock-bwa .pac/.ann/.amb/.bwt/.sa")
     ap.add_argument("fasta")
@@ -138,6 +145,10 @@ def _add_mem_opts(ap: argparse.ArgumentParser) -> None:
                          "(implies -q)")
     ap.add_argument("-q", action="store_true", dest="keep_supp_mapq",
                     help="don't cap supplementary mapQ by the primary's")
+    ap.add_argument("-H", dest="hdr_lines", action="append", default=None,
+                    metavar="STR/@file",
+                    help="insert STR to the header; if it starts with "
+                         "@, treat as a file of header lines")
     ap.add_argument("-I", default=None, dest="insert_spec",
                     help="mean[,std[,max[,min]]] insert size override")
     ap.add_argument("-v", type=int, default=3, dest="verbosity")
@@ -320,7 +331,16 @@ def main_mem(argv, out=None) -> int:
             log.info("[resume] %d batches (%d reads) already done",
                      journal.done_batches, journal.reads_done)
     if journal is None or journal.bytes_done < 0:
-        out.write(sam_header(fmi, args.rg_line, cl, __version__))
+        hdr_extra = []
+        for h in args.hdr_lines or []:
+            if h.startswith("@"):
+                hdr_extra.append(h)
+            else:  # a file of header lines (fastmap.c -H semantics)
+                with open(h) as fh:
+                    hdr_extra += [l.rstrip("\n") for l in fh
+                                  if l.strip()]
+        out.write(sam_header(fmi, args.rg_line, cl, __version__,
+                             hdr_lines=hdr_extra))
 
     pes0 = parse_insert_spec(args.insert_spec) if args.insert_spec \
         else None

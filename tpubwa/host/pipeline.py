@@ -43,7 +43,7 @@ def align1_core(opt: MemOpt, fmi: FMIndex, read: Read,
 
 
 def sam_header(fmi: FMIndex, rg_line: Optional[str], pg_cl: str,
-               version: str) -> str:
+               version: str, hdr_lines=None) -> str:
     lines = []
     for a in fmi.bnt.anns:
         # ALT contigs carry the AH:* tag (bwa.c:bwa_print_sam_hdr)
@@ -51,6 +51,8 @@ def sam_header(fmi: FMIndex, rg_line: Optional[str], pg_cl: str,
         lines.append(f"@SQ\tSN:{a.name}\tLN:{a.length}{ah}")
     if rg_line:
         lines.append(rg_line.replace("\\t", "\t"))
+    for h in hdr_lines or []:  # -H (bwa_print_sam_hdr hdr_lines)
+        lines.append(h.replace("\\t", "\t"))
     lines.append(f"@PG\tID:tpubwa\tPN:tpubwa\tVN:{version}\tCL:{pg_cl}")
     return "\n".join(lines) + "\n"
 
