@@ -438,3 +438,77 @@ def test_smem1a_protocol_vs_bruteforce():
                     x += 1
             want = oracle_smems(text, q, 10)
             assert got == want, (trial, start)
+
+
+# ---------------------------------------------------- ksw_align oracle
+def oracle_ksw_align(q, t, mat, o_del, e_del, o_ins, e_ins, minsc):
+    """Cell-by-cell affine local SW re-derived from the ksw_align2
+    spec: per-target-position column maxima, first-max tie-breaks,
+    XSUBO = best column max outside te +- qlen, XSTART via the
+    reversed-prefix rerun."""
+    qlen, tlen = len(q), len(t)
+
+    def forward(q_, t_):
+        n, m = len(q_), len(t_)
+        H = [[0] * (n + 1) for _ in range(m + 1)]
+        D = [[-10**9] * (n + 1) for _ in range(m + 1)]
+        I = [[-10**9] * (n + 1) for _ in range(m + 1)]
+        col_max = [0] * m
+        best, te, qe = 0, -1, -1
+        for i in range(1, m + 1):
+            for j in range(1, n + 1):
+                D[i][j] = max(H[i - 1][j] - o_del - e_del,
+                              D[i - 1][j] - e_del)
+                I[i][j] = max(H[i][j - 1] - o_ins - e_ins,
+                              I[i][j - 1] - e_ins)
+                sc = int(mat[t_[i - 1]][q_[j - 1]])
+                H[i][j] = max(0, H[i - 1][j - 1] + sc, D[i][j],
+                              I[i][j])
+            cm = max(H[i][1:]) if n else 0
+            col_max[i - 1] = cm
+            if cm > best:
+                best = cm
+                te = i - 1
+                qe = next(j for j in range(1, n + 1)
+                          if H[i][j] == cm) - 1
+        return best, te, qe, col_max
+
+    best, te, qe, col_max = forward(q, t)
+    score2, te2 = -1, -1
+    if te >= 0:
+        for e in range(tlen):
+            if (e < te - qlen or e > te + qlen) \
+                    and col_max[e] >= max(minsc, 1) \
+                    and col_max[e] > score2:
+                score2, te2 = col_max[e], e
+    tb = qb = -1
+    if best > 0 and not (minsc and best < minsc):
+        rb, rte, rqe, _ = forward(list(q[:qe + 1][::-1]),
+                                  list(t[:te + 1][::-1]))
+        tb, qb = te - rte, qe - rqe
+    return best, te, qe, score2, te2, tb, qb
+
+
+def test_ksw_align_vs_oracle():
+    from tpubwa.ref.ksw import ksw_align
+    rng = np.random.default_rng(6)
+    opt = MemOpt()
+    mat = opt.scoring_matrix()
+    for trial in range(150):
+        tl = int(rng.integers(10, 120))
+        ql = int(rng.integers(5, 60))
+        t = rng.integers(0, 4, tl).astype(np.uint8)
+        pos = int(rng.integers(0, max(tl - ql, 1)))
+        if rng.random() < 0.7:  # planted homology with mutations
+            q = t[pos:pos + ql].copy()
+            ql = len(q)
+            mut = rng.random(ql) < 0.15
+            q[mut] = rng.integers(0, 4, int(mut.sum()))
+        else:
+            q = rng.integers(0, 4, ql).astype(np.uint8)
+        r = ksw_align(ql, q, tl, t, mat, opt.o_del, opt.e_del,
+                      opt.o_ins, opt.e_ins, minsc=0)
+        want = oracle_ksw_align(list(q), list(t), mat, opt.o_del,
+                                opt.e_del, opt.o_ins, opt.e_ins, 0)
+        got = (r.score, r.te, r.qe, r.score2, r.te2, r.tb, r.qb)
+        assert got == want, (trial, got, want)
