@@ -383,7 +383,8 @@ def rounds12_split(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         nontriv = prev_ok & (prevc <= 3)
         rows_out, rids_out, redo = [], [], []
         bufs = []
-        MACH = 8192  # machines past 8192 lanes scale super-linearly
+        import os as _os
+        MACH = int(_os.environ.get("TPUBWA_BWD_MACH", 8192))
         groups = [np.flatnonzero(~nontriv)]
         nt = np.flatnonzero(nontriv)
         if len(nt) > MACH:
