@@ -9,7 +9,6 @@ import logging
 import sys
 import time
 
-import numpy as np
 
 from . import __version__
 from .index.fmindex import FMIndex

@@ -20,9 +20,6 @@ the occ API is the only index surface they touch.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -20,12 +20,11 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -155,7 +154,6 @@ class DataParallel:
         """DeviceIndex with every array replicated over the mesh.
         Built generically from the pytree so new index arrays can't be
         silently dropped."""
-        import jax.tree_util as jtu
         children, aux = didx.tree_flatten()
         return type(didx).tree_unflatten(
             aux, tuple(self.replicated(c) for c in children))
