@@ -85,3 +85,53 @@ def test_get_ref_batch(setup):
     for i, s in enumerate(starts):
         want = fmi.bnt.codes[s:s + 16]
         assert np.array_equal(got[i, :len(want)], want)
+
+
+def test_sa_lookup_rank_walk_without_marks(tmp_path):
+    """Stock-bwa-loaded indexes have no SA text marks (mark_D == 0);
+    the device walk must fall back to the rank-sampled path and still
+    match the host walk."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpubwa.index.fmindex import FMIndex
+    from tpubwa.index.build import BntSeq, SeqAnn
+    from tpubwa.device.occ import DeviceIndex, sa_lookup
+    rng = np.random.default_rng(8)
+    n = 6000
+    codes = rng.integers(0, 4, n).astype(np.uint8)
+    bnt = BntSeq(l_pac=n, anns=[SeqAnn(name="t", anno="", offset=0,
+                                       length=n, n_ambs=0)],
+                 ambs=[], seed=11, codes=codes)
+    fmi = FMIndex.build(bnt)
+    assert fmi.sa_mark_D
+    # bwa round trip drops the marks (stock format has none)
+    fmi.save_bwa(str(tmp_path / "g"))
+    import shutil
+    fmi2 = FMIndex.load_bwa(str(tmp_path / "g"))
+    assert fmi2.sa_mark_D == 0
+    didx = DeviceIndex.from_fmindex(fmi2)
+    assert didx.mark_D == 0
+    ranks = rng.integers(0, fmi.seq_len + 1, 300).astype(didx.np_idt)
+    got = np.asarray(sa_lookup(didx, jnp.asarray(ranks)))
+    want = np.array([fmi.sa(int(k)) for k in ranks])
+    assert (got == want).all()
+
+
+def test_shm_roundtrips_sa_marks(tmp_path):
+    import numpy as np
+    from tpubwa.index.fmindex import FMIndex
+    from tpubwa.index.build import BntSeq, SeqAnn
+    rng = np.random.default_rng(9)
+    n = 3000
+    codes = rng.integers(0, 4, n).astype(np.uint8)
+    bnt = BntSeq(l_pac=n, anns=[SeqAnn(name="t", anno="", offset=0,
+                                       length=n, n_ambs=0)],
+                 ambs=[], seed=11, codes=codes)
+    fmi = FMIndex.build(bnt)
+    fmi.save_shm(str(tmp_path / "g"))
+    fmi2 = FMIndex.load_shm(str(tmp_path / "g"))
+    assert fmi2.sa_mark_D == fmi.sa_mark_D
+    assert (np.asarray(fmi2.sa_mark_rows)
+            == np.asarray(fmi.sa_mark_rows)).all()
+    assert (np.asarray(fmi2.sa_marked)
+            == np.asarray(fmi.sa_marked)).all()
