@@ -131,7 +131,7 @@ def test_mixed_length_batch_keeps_device_path(setup):
     reads = []
     for i in range(6):
         pos = int(rng.integers(0, len(codes) - 600))
-        L = 500 if i == 2 else 100  # read 2 exceeds read_len_cap=256
+        L = 600 if i == 2 else 100  # read 2 exceeds read_len_cap=510
         reads.append(Read(name=f"m{i}", seq=codes[pos:pos + L].copy(),
                           qual=None))
     calls = {"n": 0}
@@ -175,3 +175,34 @@ def test_native_planner_equals_python_plan(setup, monkeypatch):
     assert [_regs_key(r) for r in native] == \
         [_regs_key(r) for r in python]
     assert sum(len(r) for r in native) > 0
+
+
+def test_long_reads_accelerated_up_to_510bp(setup):
+    """2x250 bp chemistry (and up to 510 bp) stays on the device path
+    (LANES=512 extension bucket + adaptive seeding call caps) and
+    matches the scalar oracle."""
+    d, codes, prefix, fmi = setup
+    rng = np.random.default_rng(41)
+    opt = MemOpt()
+    mat = opt.scoring_matrix()
+    aligner = make_device_aligner(opt, fmi, platform="cpu")
+    reads = []
+    for i, L in enumerate((250, 300, 450, 100)):
+        pos = int(rng.integers(0, len(codes) - 520))
+        q = codes[pos:pos + L].copy()
+        for _ in range(int(rng.integers(0, 8))):
+            q[int(rng.integers(0, L))] = int(rng.integers(0, 5))
+        reads.append(Read(name=f"L{L}_{i}", seq=q, qual=None))
+    calls = {"n": 0}
+    orig = aligner._seed_chunk
+
+    def spy(chunk):
+        calls["n"] += 1
+        return orig(chunk)
+
+    aligner._seed_chunk = spy
+    got = aligner.align_batch(reads)
+    assert calls["n"] >= 1  # device path ran (no scalar demotion)
+    want = [align1_core(opt, fmi, r, mat) for r in reads]
+    assert [_regs_key(r) for r in got] == [_regs_key(r) for r in want]
+    assert all(len(r) >= 1 for r in got)

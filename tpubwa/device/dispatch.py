@@ -28,8 +28,8 @@ from ..ref.ksw import KswExt, ksw_extend
 class WaveExtender:
     """Drives extension_plan generators to completion in batched waves."""
 
-    def __init__(self, opt: MemOpt, mat: np.ndarray, qmax: int = 255,
-                 tmax: int = 512, batch_fn: Optional[Callable] = None,
+    def __init__(self, opt: MemOpt, mat: np.ndarray, qmax: int = 511,
+                 tmax: int = 1024, batch_fn: Optional[Callable] = None,
                  use_pallas: bool = True, fused: bool = False,
                  mesh=None):
         # qmax default = Pallas LANES-1: at 256 the kernel adapters

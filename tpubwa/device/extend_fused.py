@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .extend_pallas import CHUNK, JOBS, LANES, _mat_ab, extend_batch_pallas
+from .extend_pallas import (CHUNK, JOBS, LANES, _mat_ab, chunk_for,
+                            extend_batch_pallas, width_for)
 
 I32 = jnp.int32
 
@@ -155,8 +156,9 @@ def _extend_seed_desc_impl(didx, qreads, desc, a, b, o_del, e_del,
     # overhead) covers several VMEM-sized Pallas launches
     N = desc.shape[0]
     outs = []
-    for off in range(0, N, CHUNK):
-        sl = slice(off, off + CHUNK)
+    ch = chunk_for(W)
+    for off in range(0, N, ch):
+        sl = slice(off, off + ch)
         outs.append(_fused_passes(
             qL[sl], tL[sl], qR[sl], tR[sl], qlenL[sl], tlenL[sl],
             qlenR[sl], tlenR[sl], h0[sl], w0[sl], pen5[sl], pen3[sl],
@@ -229,12 +231,13 @@ def extend_seed_desc_np(didx, qd, jobs, mat, o_del, e_del, o_ins,
     tlR = np.where(da[:n, 3] - da[:n, 1] - da[:n, 2] > 0,
                    da[:n, 6] - da[:n, 4] - da[:n, 2], 0)
     order = sorted(range(n), key=lambda i: -(int(tlL[i]) + int(tlR[i])))
-    N = JOBS if n <= JOBS else ((n + CHUNK - 1) // CHUNK) * CHUNK
-    if N > CHUNK:  # round to the multi-chunk dispatch size
-        N = ((N + 4 * CHUNK - 1) // (4 * CHUNK)) * (4 * CHUNK)
-    W = 128 if int(max(da[:n, 1].max(initial=0),
-                       (da[:n, 3] - da[:n, 1] - da[:n, 2])
-                       .max(initial=0))) < 128 else LANES
+    W = width_for(int(max(da[:n, 1].max(initial=0),
+                          (da[:n, 3] - da[:n, 1] - da[:n, 2])
+                          .max(initial=0))))
+    CH = chunk_for(W)
+    N = JOBS if n <= JOBS else ((n + CH - 1) // CH) * CH
+    if N > CH:  # round to the multi-chunk dispatch size
+        N = ((N + 4 * CH - 1) // (4 * CH)) * (4 * CH)
     tm = 128
     while tm < max(int(tlL.max(initial=0)), int(tlR.max(initial=0))):
         tm <<= 1
@@ -244,7 +247,7 @@ def extend_seed_desc_np(didx, qd, jobs, mat, o_del, e_del, o_ins,
     desc[:, 7] = 1   # w > 0
     for slot, i in enumerate(order):
         desc[slot] = da[i]
-    step = N if N <= JOBS else min(4 * CHUNK, N)
+    step = N if N <= JOBS else min(4 * CH, N)
     futs = []
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -322,11 +325,10 @@ def extend_seed_batch_np(jobs: List, mat, o_del, e_del, o_ins, e_ins,
     n = len(jobs)
     order = sorted(range(n),
                    key=lambda i: -(int(jobs[i][2]) + int(jobs[i][6])))
-    N = JOBS if n <= JOBS else ((n + CHUNK - 1) // CHUNK) * CHUNK
-    # lane width: 128 covers qlen <= 127 at half the VMEM traffic;
-    # t arrays sized to the longest target (pow2, floor 128)
-    W = 128 if max((max(int(j[0]), int(j[4])) for j in jobs),
-                   default=0) < 128 else LANES
+    W = width_for(max((max(int(j[0]), int(j[4])) for j in jobs),
+                      default=0))
+    CH = chunk_for(W)
+    N = JOBS if n <= JOBS else ((n + CH - 1) // CH) * CH
     tm = 128
     while tm < max((max(int(j[2]), int(j[6])) for j in jobs),
                    default=0):
@@ -347,7 +349,7 @@ def extend_seed_batch_np(jobs: List, mat, o_del, e_del, o_ins, e_ins,
         qRa[slot, :qlenR] = qR[:qlenR]
         tRa[slot, :tlenR] = tR[:tlenR]
         meta[slot] = (qlenL, tlenL, qlenR, tlenR, h0, w0, pen5, pen3)
-    step = N if N <= JOBS else CHUNK
+    step = N if N <= JOBS else CH
     # dispatch every chunk async FIRST (a blocking device sync costs
     # ~40 ms over this link; an extra in-flight launch ~10 ms), then
     # collect

@@ -36,9 +36,24 @@ def _c(v):
     # weak i64 scalars, which Mosaic cannot convert (infinite
     # recursion in _convert_helper)
     return jnp.asarray(v, I32)
-LANES = 256          # eh lanes -> qlen <= LANES - 1
+LANES = 512          # max eh lanes -> qlen <= LANES - 1 (510 bp reads)
 JOBS = 64            # minimum chunk (sublanes)
 CHUNK = 512          # jobs per grid-free kernel launch (VMEM-bound)
+
+
+def chunk_for(width: int) -> int:
+    """Jobs per kernel launch: the ~16 MB VMEM scope fits 512 jobs at
+    <= 256 lanes; wider DP rows halve the tile."""
+    return CHUNK if width <= 256 else CHUNK // 2
+
+
+def width_for(max_qlen: int) -> int:
+    """DP lane-width bucket (pow2; 128 covers 100 bp reads at half
+    the VMEM traffic of 256)."""
+    for w in (128, 256, LANES):
+        if max_qlen < w:
+            return w
+    return LANES
 
 
 def _roll1(x, sh):
@@ -254,10 +269,9 @@ def extend_batch_pallas_np(jobs, mat, o_del, e_del, o_ins, e_ins, zdrop,
         interpret = jax.default_backend() not in ("tpu",)
     n = len(jobs)
     order = sorted(range(n), key=lambda i: -len(jobs[i]["t"]))
-    N = JOBS if n <= JOBS else ((n + CHUNK - 1) // CHUNK) * CHUNK
-    # lane width: 128 covers qlen <= 127 (100bp reads) at half the VMEM
-    # traffic per DP row
-    W = 128 if max((len(j["q"]) for j in jobs), default=0) < 128         else LANES
+    W = width_for(max((len(j["q"]) for j in jobs), default=0))
+    CH = chunk_for(W)
+    N = JOBS if n <= JOBS else ((n + CH - 1) // CH) * CH
     q = np.full((N, W), 4, np.int32)
     t = np.full((N, tmax), 4, np.int32)
     p = np.zeros((N, 128), np.int32)
@@ -268,7 +282,7 @@ def extend_batch_pallas_np(jobs, mat, o_del, e_del, o_ins, e_ins, zdrop,
         q[slot, :ql] = j["q"]
         t[slot, :tl] = j["t"]
         p[slot, :5] = (ql, tl, j["h0"], j["w"], j["end_bonus"])
-    step = N if N <= JOBS else CHUNK
+    step = N if N <= JOBS else CH
     chunks = []
     for off in range(0, N, step):
         chunks.append(np.asarray(extend_batch_pallas(

@@ -108,7 +108,9 @@ class DeviceAligner:
                                      mesh=mesh)
         from .extend_pallas import _mat_ab
         self.mat_scmat = _mat_ab(self.mat) is not None
-        self.read_len_cap = 256  # longer reads fall back to scalar path
+        # longer reads fall back to the scalar path; 510 = the Pallas
+        # LANES-1 bound, covering 2x250 bp chemistry on device
+        self.read_len_cap = 510
         # Fixed seeding-chunk size: every device program in the seeding
         # stage sees operand shapes (chunk_reads, Lp) with chunk_reads
         # CONSTANT, so XLA compiles each program exactly once per

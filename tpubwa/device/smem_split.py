@@ -362,7 +362,7 @@ def _stack_P(didx) -> int:
 
 
 def rounds12_split(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
-                   MAXC: int = 8, MAXM: int = 12, put=jnp.asarray
+                   MAXC: int = 0, MAXM: int = 12, put=jnp.asarray
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Rounds 1-2 of mem_collect_intv via the split machines.
     Same contract as smem._rounds12_cursor: flat (rows [n,5] int64,
@@ -371,6 +371,10 @@ def rounds12_split(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
     npdt = didx.np_idt
     P = _stack_P(didx)
     reads_np = np.asarray(reads)
+    if MAXC == 0:
+        # smem1a calls per read grow with read length (~1 per 30-40 bp
+        # advanced); overflowing lanes redo on the host scalar path
+        MAXC = 8 if reads_np.shape[1] <= 192 else 16
 
     def bwd_all(snap, jsrc, jread, jx, jm, jmi):
         """Dispatch span buckets (trivial = dies in backward round 1;
