@@ -114,10 +114,15 @@ class FastqReader:
 
     def __init__(self, path: str):
         import os
+        import sys as _sys
         self._native = None
         self._queue: List[Read] = []
         self._qpos = 0
         self.fh = None
+        if str(path) == "-":  # stdin pipe (kopen.c's '-' convention)
+            self.fh = _sys.stdin.buffer
+            self._peek = None
+            return
         if not os.environ.get("TPUBWA_NO_NATIVE_IO"):
             try:
                 self._native = _NativeBackend(path)
@@ -130,9 +135,10 @@ class FastqReader:
         self._peek: Optional[bytes] = None
 
     def close(self):
+        import sys as _sys
         if self._native is not None:
             self._native.close()
-        if self.fh is not None:
+        if self.fh is not None and self.fh is not _sys.stdin.buffer:
             self.fh.close()
 
     def seek_raw(self, offset: int) -> None:
