@@ -157,8 +157,8 @@ def _attempt(log):
 
     # measurement: batches streamed through the 3-stage pipeline
     # (align batch i+1 overlaps pairing/emit of batch i)
-    n_pairs = 16384
-    batches = [simulate(fmi, n_pairs // 2, 100, rng) for _ in range(2)]
+    n_pairs = 24576
+    batches = [simulate(fmi, n_pairs // 3, 100, rng) for _ in range(3)]
     n_reads = sum(len(b) for b in batches)
     t0 = time.perf_counter()
     n_lines = 0
