@@ -103,6 +103,13 @@ def main():
     import tpubwa.device.smem as sm
     wrap(sc, "run_smem_jobs", "  cursor-machine(sync)")
     wrap(sm, "_seed_strategy_scan", "  r3-dispatch")
+    import tpubwa.device.smem_split as ss
+    wrap(ss, "rounds12_split", "  rounds12-split")
+    wrap(ss, "run_fwd", "    fwd-machine(sync)")
+    wrap(ss, "run_bwd", "    bwd-dispatch")
+    wrap(ss, "_decode_bwd", "    bwd-decode(sync)")
+    wrap(sm, "_scalar_round1", "    scalar-redo-r1")
+    wrap(sm, "_scalar_reseed", "    scalar-redo-r2")
     import tpubwa.host.native_emit as ne
     wrap(ne, "chain_batch_native", "  chain-native")
     import tpubwa.device.extend_fused as ef
@@ -114,6 +121,7 @@ def main():
     print(f"[prof] warmup (compiles): {time.time() - t0:.1f}s",
           file=sys.stderr)
     stages.clear()
+    ss.SEED_STATS.clear()
 
     batches = [simulate(fmi, args.pairs // args.batches, 100, rng)
                for _ in range(args.batches)]
@@ -135,6 +143,21 @@ def main():
     ext = aligner.extender
     print(f"[prof]   waves={ext.n_waves} jobs={ext.n_jobs} "
           f"fallback={ext.n_fallback}", file=sys.stderr)
+    for kind in ("fwd", "bwd"):
+        ms = [s for s in ss.SEED_STATS if s[0] == kind]
+        if not ms:
+            continue
+        lanes = sum(m[1] for m in ms)
+        live = sum(m[2] for m in ms)
+        rnds = sum(m[3] for m in ms)
+        a = sum(m[4] for m in ms)
+        b = sum(m[5] for m in ms)
+        cause = ("stack-ovf", "call-ovf") if kind == "fwd" \
+            else ("redo", "spill")
+        print(f"[prof]   {kind}-machines: {len(ms)} dispatches, "
+              f"{lanes} lanes ({live} live), {rnds} total rounds "
+              f"(mean {rnds / len(ms):.0f}), "
+              f"{cause[0]}={a} {cause[1]}={b}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -112,3 +112,60 @@ def test_round2_min_intv_equivalence(setup):
                 gk = sorted((int(r[3]), int(r[4]), int(r[2]), int(r[0]),
                              int(r[1])) for r in out[0][1])
                 assert gk == want, (ri, x, mi)
+
+
+def test_overflow_second_chance_equals_scalar(setup, monkeypatch):
+    """Lanes that overflow the main machines (stack P / call MAXC)
+    must flow through the deeper second-chance machines — and lanes
+    that overflow even those, to the host scalar path — with the
+    final SMEM set unchanged.  Forced by shrinking the main caps."""
+    import tpubwa.device.smem_split as ss
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    rng = np.random.default_rng(9)
+    opt = MemOpt()
+    monkeypatch.setattr(ss, "_stack_P", lambda d: 8)  # force stack ovf
+    reads = [np.tile(unit, 3)[:100].copy()]           # deep stacks
+    for t in range(6):
+        start = int(rng.integers(0, len(codes) - 110))
+        q = text[start:start + 100].copy()
+        reads.append(q)
+    arr, lens = _pack_reads(reads, 100)
+    got = collect_intv_device(opt, didx, arr, lens, fmi=fmi,
+                              mode="split")
+    for i, r in enumerate(reads):
+        want = collect_intv(opt, fmi, r)
+        wk = sorted((m.qb, m.qe, m.size, m.x0, m.x1) for m in want)
+        gk = sorted((int(x[3]), int(x[4]), int(x[2]), int(x[0]),
+                     int(x[1])) for x in got[i])
+        assert gk == wk, f"read {i}"
+
+
+def test_call_overflow_second_chance(setup):
+    """MAXC=1 forces every multi-call lane through the second chance;
+    output must still match the scalar oracle."""
+    import tpubwa.device.smem_split as ss
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    opt = MemOpt()
+    reads = [text[i * 307:i * 307 + 100].copy() for i in range(5)]
+    arr, lens = _pack_reads(reads, 100)
+    import jax.numpy as jnp
+    qd, ld = jnp.asarray(arr), jnp.asarray(lens)
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    rows, rids = ss.rounds12_split(opt, didx, qd, ld, lens, arr,
+                                   split_len, fmi, MAXC=1)
+    from tpubwa.device.smem import _scalar_reseed, _scalar_round1
+    for i, r in enumerate(reads):
+        r1 = _scalar_round1(opt, fmi, r, len(r))
+        want = [tuple(int(v) for v in row) for row in r1]
+        for row in r1:
+            if (row[4] - row[3] >= split_len
+                    and row[2] <= opt.split_width):
+                r2 = _scalar_reseed(opt, fmi, r, len(r),
+                                    int(row[3] + row[4]) >> 1,
+                                    int(row[2]) + 1)
+                want += [tuple(int(v) for v in x) for x in r2]
+        mine = rows[rids == i]
+        gk = sorted(tuple(int(v) for v in x) for x in mine)
+        assert gk == sorted(want), f"read {i}"

@@ -59,21 +59,28 @@ def _sel_base(ok, c):
 @partial(jax.jit, static_argnames=("P", "MAXC", "max_rounds",
                                    "unroll"))
 def smem_fwd_machine(didx: DeviceIndex, q: jnp.ndarray,
-                     lens: jnp.ndarray, read: jnp.ndarray,
-                     x0: jnp.ndarray, min_intv: jnp.ndarray,
-                     one_shot: jnp.ndarray, P: int, MAXC: int,
+                     lens: jnp.ndarray, jobs: jnp.ndarray,
+                     P: int, MAXC: int,
                      max_rounds: int = 2048, unroll: int = 1):
     """Forward passes of bwt_smem1a for N independent lanes.
 
-    q uint8 [B, L]; lens i32 [B]; per-lane read/x0 i32 [N], min_intv
-    idt [N], one_shot bool [N] (True: exactly one smem1a call; False:
-    auto-restart at ret until the read is consumed).
+    q uint8 [B, L]; lens i32 [B]; jobs idt [N, 8] — columns 0..3 are
+    (read, x0, min_intv, one_shot), the rest spare (one packed operand
+    = ONE H2D transfer; the axon link charges a ~10 ms floor per
+    transfer, so 4 separate per-lane arrays cost 4x — PERF_NOTES.md).
+    one_shot != 0: exactly one smem1a call; else auto-restart at ret
+    until the read is consumed.
 
     Returns (snap [N, MAXC, P, 4] idt — pushed intervals (x0, x1,
     size, qe) in PUSH order (descending size), kept on device for the
     BWD machine; host_buf i32 flat = meta [N, MAXC, 2] (call x, call
-    stack size) then aux [N] = n_calls | overflow << 30)."""
+    stack size) then aux [N] = n_calls | stack-ovf << 28 | call-ovf
+    << 29, then the round counter)."""
     dt = didx.idt
+    read = jobs[:, 0].astype(I32)
+    x0 = jobs[:, 1].astype(I32)
+    min_intv = jobs[:, 2].astype(dt)
+    one_shot = jobs[:, 3] != 0
     N = read.shape[0]
     L = q.shape[1]
     jidx = jnp.arange(P, dtype=I32)[None, :]
@@ -94,7 +101,8 @@ def smem_fwd_machine(didx: DeviceIndex, q: jnp.ndarray,
         call=jnp.zeros(N, I32),
         snap=jnp.zeros((N, MAXC, P, 4), dt),
         meta=jnp.zeros((N, MAXC, 2), I32),
-        overflow=jnp.zeros(N, bool),
+        ovf_s=jnp.zeros(N, bool),
+        ovf_c=jnp.zeros(N, bool),
         rounds=jnp.zeros((), I32),
     )
 
@@ -105,7 +113,8 @@ def smem_fwd_machine(didx: DeviceIndex, q: jnp.ndarray,
     def body(s):
         phase, x, i = s["phase"], s["x"], s["i"]
         ik, ik_qe, m, call = s["ik"], s["ik_qe"], s["m"], s["call"]
-        snap, meta, overflow = s["snap"], s["meta"], s["overflow"]
+        snap, meta = s["snap"], s["meta"]
+        ovf_s, ovf_c = s["ovf_s"], s["ovf_c"]
 
         # ---------------- RESTART ----------------
         rs = phase == RESTART
@@ -133,7 +142,7 @@ def smem_fwd_machine(didx: DeviceIndex, q: jnp.ndarray,
         failf = schange & (nik[:, 2] < min_intv)
         push = at_end | amb | schange
         can_push = push & (m < P) & (call < MAXC)
-        overflow = overflow | (push & (m >= P))
+        ovf_s = ovf_s | (push & (m >= P))
         row = jnp.concatenate([ik, ik_qe[:, None].astype(dt)], axis=1)
         wmask = (can_push[:, None, None]
                  & (cidx == call[:, None])[:, :, None]
@@ -151,17 +160,17 @@ def smem_fwd_machine(didx: DeviceIndex, q: jnp.ndarray,
         mmask = rec[:, None] & (cidx == call[:, None])   # [N, MAXC]
         mrow = jnp.stack([x, m], axis=1)                 # [N, 2]
         meta = jnp.where(mmask[:, :, None], mrow[:, None, :], meta)
-        overflow = overflow | (trans & (call >= MAXC))
+        ovf_c = ovf_c | (trans & (call >= MAXC))
         call = call + trans.astype(I32)
         # restart at ret = qe of the last push == current ik_qe
         phase = jnp.where(trans & one_shot, DONE, phase)
         x = jnp.where(trans & ~one_shot, ik_qe, x)
         phase = jnp.where(trans & ~one_shot, RESTART, phase)
-        phase = jnp.where(overflow, DONE, phase)
+        phase = jnp.where(ovf_s | ovf_c, DONE, phase)
 
         return dict(phase=phase, x=x, i=i, ik=ik, ik_qe=ik_qe, m=m,
-                    call=call, snap=snap, meta=meta, overflow=overflow,
-                    rounds=s["rounds"] + 1)
+                    call=call, snap=snap, meta=meta, ovf_s=ovf_s,
+                    ovf_c=ovf_c, rounds=s["rounds"] + 1)
 
     def body_k(s):
         # tuning knob: K protocol steps per while_loop round (finished
@@ -173,29 +182,44 @@ def smem_fwd_machine(didx: DeviceIndex, q: jnp.ndarray,
         return s
 
     out = jax.lax.while_loop(cond, body_k, state)
-    overflow = out["overflow"] | (out["phase"] != DONE)
-    aux = out["call"] | (overflow.astype(I32) << 30)
+    hung = (out["phase"] != DONE) & ~out["ovf_s"] & ~out["ovf_c"]
+    overflow = out["ovf_s"] | out["ovf_c"] | hung
+    aux = (out["call"] | (out["ovf_s"].astype(I32) << 28)
+           | ((out["ovf_c"] | hung).astype(I32) << 29)
+           | (overflow.astype(I32) << 30))
     host_buf = jnp.concatenate(
-        [out["meta"].reshape(-1), aux])  # flat on the wire
+        [out["meta"].reshape(-1), aux,
+         out["rounds"][None] * unroll])  # flat on the wire
     return out["snap"], host_buf
 
 
 @partial(jax.jit, static_argnames=("P", "MAXM", "min_seed_len",
-                                   "max_rounds", "unroll"))
+                                   "max_rounds", "unroll", "CAPF"))
 def smem_bwd_machine(didx: DeviceIndex, q: jnp.ndarray,
                      lens: jnp.ndarray, snap: jnp.ndarray,
-                     src: jnp.ndarray, read: jnp.ndarray,
-                     x: jnp.ndarray, m_in: jnp.ndarray,
-                     min_intv: jnp.ndarray, P: int, MAXM: int,
+                     jobs: jnp.ndarray, P: int, MAXM: int,
                      min_seed_len: int, max_rounds: int = 512,
-                     unroll: int = 1):
+                     unroll: int = 1, CAPF: int = 3):
     """Backward pass for M recorded calls.
 
-    snap idt [N, MAXC, P, 4] (device-resident FWD output); src i32 [M]
-    flat (lane * MAXC + call) row index; read/x/m_in per job; min_intv
-    idt [M].  Returns (mem flat idt [M * MAXM * 5] rows (x0, x1, size,
-    qb, qe), aux i32 [M] = mem_n | overflow << 30)."""
+    snap idt [N, MAXC, P, 4] (device-resident FWD output); jobs idt
+    [M, 8] — columns 0..4 are (src, read, x, m_in, min_intv) where src
+    is the flat (lane * MAXC + call) snapshot row index (one packed
+    operand = one H2D transfer).
+
+    Returns flat idt: packed emission rows [CAPF * M, 5] (x0, x1,
+    size, qb, qe — lane-major, compacted by an exclusive cumsum of
+    per-lane counts so the D2H buffer is ~mean-occupancy-sized instead
+    of MAXM-sized), then aux [M] = mem_n | overflow << 30, then the
+    round counter.  Lanes whose rows spill past CAPF * M are NOT
+    flagged here — the host recomputes the same cumsum from aux and
+    routes spilled lanes to the scalar redo path (run_bwd/_decode_bwd)."""
     dt = didx.idt
+    src = jobs[:, 0].astype(I32)
+    read = jobs[:, 1].astype(I32)
+    x = jobs[:, 2].astype(I32)
+    m_in = jobs[:, 3].astype(I32)
+    min_intv = jobs[:, 4].astype(dt)
     M = src.shape[0]
     L = q.shape[1]
     jidx = jnp.arange(P, dtype=I32)[None, :]
@@ -294,8 +318,21 @@ def smem_bwd_machine(didx: DeviceIndex, q: jnp.ndarray,
     out = jax.lax.while_loop(cond, body_k, state)
     overflow = out["overflow"] | ~out["done"]
     aux = out["mem_n"] | (overflow.astype(I32) << 30)
-    return jnp.concatenate([out["mem"].reshape(-1).astype(dt),
-                            aux.astype(dt)])
+    # device-side compaction: the mem buffer is ~95% zeros (mean ~1-2
+    # emissions per call vs MAXM slots); ship only the packed prefix
+    cap = CAPF * M
+    eff = jnp.where(overflow, 0, out["mem_n"])
+    ends = jnp.cumsum(eff)
+    base = ends - eff
+    jm = jnp.arange(MAXM, dtype=I32)[None, :]
+    tgt = base[:, None] + jm                       # [M, MAXM]
+    valid = (jm < eff[:, None]) & (tgt < cap)
+    tgt = jnp.where(valid, tgt, cap)               # cap = dump row
+    packed = jnp.zeros((cap + 1, 5), dt).at[tgt.reshape(-1)].set(
+        out["mem"].reshape(-1, 5), mode="drop")
+    return jnp.concatenate([packed[:cap].reshape(-1),
+                            aux.astype(dt),
+                            (out["rounds"] * unroll).astype(dt)[None]])
 
 
 def _pad_pow2(n: int, lo: int = 256) -> int:
@@ -305,6 +342,13 @@ def _pad_pow2(n: int, lo: int = 256) -> int:
     return m
 
 
+# telemetry per machine dispatch: fwd rows are (kind, lanes, live,
+# rounds, stack_ovf, call_ovf); bwd rows are (kind, lanes, live,
+# rounds, redo, spill).  Cleared/read by scripts/profile_scale.py —
+# negligible cost (the counters ride the existing host buffer)
+SEED_STATS: List[Tuple[str, int, int, int, int, int]] = []
+
+
 def run_fwd(didx, qd, ld, read, x0, min_intv, one_shot, P, MAXC,
             put=jnp.asarray):
     """Pad lanes to pow2, run the FWD machine, return (device snap,
@@ -312,46 +356,82 @@ def run_fwd(didx, qd, ld, read, x0, min_intv, one_shot, P, MAXC,
     n = len(read)
     mpad = _pad_pow2(n)
     npdt = didx.np_idt
-    r = np.zeros(mpad, np.int32)
-    x = np.full(mpad, (1 << 30), np.int32)  # pad lanes: x >= len
-    mi = np.ones(mpad, npdt)
-    osh = np.ones(mpad, bool)
-    r[:n], x[:n] = read, x0
-    mi[:n] = min_intv
-    osh[:n] = one_shot
-    snap, host_buf = smem_fwd_machine(
-        didx, qd, ld, put(r), put(x), put(mi), put(osh), P, MAXC)
+    jobs = np.zeros((mpad, 8), npdt)
+    jobs[:, 1] = 1 << 30                # pad lanes: x >= len
+    jobs[:, 2] = 1
+    jobs[:, 3] = 1
+    jobs[:n, 0] = read
+    jobs[:n, 1] = x0
+    jobs[:n, 2] = min_intv
+    jobs[:n, 3] = one_shot
+    snap, host_buf = smem_fwd_machine(didx, qd, ld, put(jobs), P, MAXC)
     buf = np.asarray(host_buf)
     meta = buf[:mpad * MAXC * 2].reshape(mpad, MAXC, 2)[:n]
     aux = buf[mpad * MAXC * 2:][:n]
+    SEED_STATS.append(("fwd", mpad, n, int(buf[-1]),
+                       int(np.count_nonzero((aux >> 28) & 1)),
+                       int(np.count_nonzero((aux >> 29) & 1))))
     return snap, meta, (aux & 0xFFFF).astype(np.int32), (aux >> 30) != 0
+
+
+CAPF = 3  # packed-output rows per lane (mean occupancy ~1-2; spilled
+          # lanes fall back to the scalar redo path)
 
 
 def run_bwd(didx, qd, ld, snap, jobs, P, MAXM, min_seed_len,
             put=jnp.asarray):
-    """jobs: (src, read, x, m, min_intv) arrays [M].  Returns
-    (mem [M, MAXM, 5], mem_n [M], overflow [M])."""
+    """jobs: (src, read, x, m, min_intv) arrays [M].  Returns the
+    packed device buffer + mpad (decode with _decode_bwd)."""
     n = len(jobs[0])
     npdt = didx.np_idt
     mpad = _pad_pow2(n)
-    src = np.zeros(mpad, np.int32)
-    read = np.zeros(mpad, np.int32)
-    x = np.zeros(mpad, np.int32)
-    m = np.zeros(mpad, np.int32)        # pad lanes: m == 0 -> done
-    mi = np.ones(mpad, npdt)
-    src[:n], read[:n], x[:n], m[:n] = jobs[0], jobs[1], jobs[2], jobs[3]
-    mi[:n] = jobs[4]
-    buf = smem_bwd_machine(
-        didx, qd, ld, snap, put(src), put(read), put(x), put(m),
-        put(mi), P, MAXM, int(min_seed_len))
+    packed = np.zeros((mpad, 8), npdt)   # pad lanes: m == 0 -> done
+    packed[:n, 0] = jobs[0]
+    packed[:n, 1] = jobs[1]
+    packed[:n, 2] = jobs[2]
+    packed[:n, 3] = jobs[3]
+    packed[:, 4] = 1
+    packed[:n, 4] = jobs[4]
+    buf = smem_bwd_machine(didx, qd, ld, snap, put(packed), P, MAXM,
+                           int(min_seed_len), CAPF=CAPF)
     return buf, mpad
 
 
 def _decode_bwd(buf, mpad, n, MAXM):
+    """Returns (rows [total, 5] — valid emissions in (lane, slot)
+    order for non-overflow, non-spilled lanes; eff [n] per-lane row
+    counts (0 for redo lanes); ovf [n] lanes for the scalar redo
+    path)."""
+    cap = CAPF * mpad
     arr = np.asarray(buf)
-    mem = arr[:mpad * MAXM * 5].reshape(mpad, MAXM, 5)[:n]
-    aux = arr[mpad * MAXM * 5:][:n].astype(np.int64)
-    return mem, (aux & 0xFFFF).astype(np.int32), (aux >> 30) != 0
+    rows = arr[:cap * 5].reshape(cap, 5)
+    aux = arr[cap * 5:][:mpad].astype(np.int64)
+    mem_n = (aux & 0xFFFF).astype(np.int32)
+    ovf = (aux >> 30) != 0
+    # mirror the device cumsum over ALL mpad lanes; lanes whose rows
+    # spilled past cap join the redo set
+    eff = np.where(ovf, 0, mem_n)
+    ends = np.cumsum(eff)
+    spill = ends > cap
+    ovf = ovf | spill
+    eff = np.where(spill, 0, eff)
+    SEED_STATS.append(("bwd", mpad, n, int(arr[-1]),
+                       int(np.count_nonzero(ovf[:n])),
+                       int(np.count_nonzero(spill[:n]))))
+    base = ends - eff
+    sel = np.repeat(base[:n], eff[:n]) + _row_offsets(eff[:n])
+    return rows[sel], eff[:n], ovf[:n]
+
+
+def _row_offsets(counts):
+    """[0..c0-1, 0..c1-1, ...] for per-lane counts."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    ends = np.cumsum(counts)
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(ends - counts, counts)
+    return out
 
 
 def _stack_P(didx) -> int:
@@ -376,12 +456,15 @@ def rounds12_split(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         # advanced); overflowing lanes redo on the host scalar path
         MAXC = 8 if reads_np.shape[1] <= 192 else 16
 
-    def bwd_all(snap, jsrc, jread, jx, jm, jmi):
+    def bwd_all(snap, jsrc, jread, jx, jm, jmi, P_=None, MAXM_=None,
+                single_group=False):
         """Dispatch span buckets (trivial = dies in backward round 1;
         the rest split by x, which bounds the span — the lockstep loop
         runs max-span rounds, so mixing x=5 and x=90 lanes makes the
         short ones idle), sync once each; returns flat rows + rids +
         scalar-redo jobs."""
+        Pq = P if P_ is None else P_
+        Mq = MAXM if MAXM_ is None else MAXM_
         prev_ok = (jx > 0)
         prevc = reads_np[jread, np.maximum(jx - 1, 0)]
         nontriv = prev_ok & (prevc <= 3)
@@ -389,15 +472,19 @@ def rounds12_split(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         bufs = []
         import os as _os
         MACH = int(_os.environ.get("TPUBWA_BWD_MACH", 8192))
-        groups = [np.flatnonzero(~nontriv)]
-        nt = np.flatnonzero(nontriv)
-        if len(nt) > MACH:
-            # sort by x (the span bound) so each sub-machine's rounds
-            # track ITS jobs' spans instead of the global max
-            nt = nt[np.argsort(-jx[nt], kind="stable")]
-            groups += [nt[s:s + MACH] for s in range(0, len(nt), MACH)]
+        if single_group:
+            groups = [np.arange(len(jsrc))]
         else:
-            groups.append(nt)
+            groups = [np.flatnonzero(~nontriv)]
+            nt = np.flatnonzero(nontriv)
+            if len(nt) > MACH:
+                # sort by x (the span bound) so each sub-machine's
+                # rounds track ITS jobs' spans instead of the global max
+                nt = nt[np.argsort(-jx[nt], kind="stable")]
+                groups += [nt[s:s + MACH]
+                           for s in range(0, len(nt), MACH)]
+            else:
+                groups.append(nt)
         for idx in groups:
             if not len(idx):
                 bufs.append(None)
@@ -405,24 +492,66 @@ def rounds12_split(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
             buf, mpad = run_bwd(
                 didx, qd, ld, snap,
                 (jsrc[idx], jread[idx], jx[idx], jm[idx], jmi[idx]),
-                P, MAXM, opt.min_seed_len, put=put)
+                Pq, Mq, opt.min_seed_len, put=put)
             bufs.append((buf, mpad, idx))
         for ent in bufs:
             if ent is None:
                 continue
             buf, mpad, idx = ent
-            mem, mem_n, ovf = _decode_bwd(buf, mpad, len(idx), MAXM)
-            ok = ~ovf
-            valid = (np.arange(MAXM)[None, :] < mem_n[:, None]) \
-                & ok[:, None]
-            vm = valid.reshape(-1)
-            rows_out.append(mem.reshape(-1, 5)[vm].astype(np.int64))
+            rows, eff, ovf = _decode_bwd(buf, mpad, len(idx), Mq)
+            rows_out.append(rows.astype(np.int64))
             rids_out.append(
-                np.repeat(jread[idx].astype(np.int64), MAXM)[vm])
+                np.repeat(jread[idx].astype(np.int64), eff))
             for k in np.flatnonzero(ovf):
                 redo.append((int(jread[idx[k]]), int(jx[idx[k]]),
                              int(jmi[idx[k]])))
         return rows_out, rids_out, redo
+
+    # deeper-capacity retry machines for the rare overflow lanes: a
+    # host _scalar_round1 costs ~40 ms/read at 64 Mb (1.2-1.5 s per
+    # chunk for ~30 lanes, measured) vs ~100 ms for one tiny machine
+    # pass; only lanes that ALSO overflow P=32/MAXC=32 go scalar
+    P2, MAXC2, MAXM2 = 32, 32, 32
+
+    def second_chance(jobs):
+        """jobs: list of (ri, x, mi, one_shot).  Returns (rows_blocks,
+        rids_blocks, leftover jobs in the same form)."""
+        if not jobs:
+            return [], [], []
+        jr = np.array([j[0] for j in jobs], np.int32)
+        jx0 = np.array([j[1] for j in jobs], np.int32)
+        jmi0 = np.array([j[2] for j in jobs], npdt)
+        josh = np.array([j[3] for j in jobs], bool)
+        snap2, meta2, nc2, ovf2 = run_fwd(
+            didx, qd, ld, jr, jx0, jmi0, josh, P2, MAXC2, put=put)
+        good = ~ovf2
+        csel = (np.arange(MAXC2)[None, :] < nc2[:, None]) & good[:, None]
+        cm = csel.reshape(-1)
+        lidx = np.repeat(np.arange(len(jr), dtype=np.int32), MAXC2)[cm]
+        calls = np.tile(np.arange(MAXC2, dtype=np.int32), len(jr))[cm]
+        jsrc = lidx * MAXC2 + calls
+        jx = meta2.reshape(-1, 2)[cm, 0].astype(np.int32)
+        jm = meta2.reshape(-1, 2)[cm, 1].astype(np.int32)
+        rows_b, rids_b, redo = bwd_all(
+            snap2, jsrc, jr[lidx], jx, jm, jmi0[lidx], P_=P2,
+            MAXM_=MAXM2, single_group=True)
+        left = [(int(jr[k]), int(jx0[k]), int(jmi0[k]), bool(josh[k]))
+                for k in np.flatnonzero(ovf2)]
+        # bwd redo entries are per-call one-shots regardless of origin
+        left += [(ri, x, mi, True) for (ri, x, mi) in redo]
+        return rows_b, rids_b, left
+
+    def run_scalar(jobs, rows_out, rids_out):
+        from .smem import _scalar_reseed, _scalar_round1
+        for (ri, x, mi, osh) in jobs:
+            if osh:
+                rows = _scalar_reseed(opt, fmi, reads[ri],
+                                      int(lens_np[ri]), x, mi)
+            else:
+                rows = _scalar_round1(opt, fmi, reads[ri],
+                                      int(lens_np[ri]))
+            rows_out.append(rows)
+            rids_out.append(np.full(len(rows), ri, np.int64))
 
     # ---- round 1: forward machine over all reads
     snap, meta, ncalls, ovfA = run_fwd(
@@ -439,16 +568,12 @@ def rounds12_split(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
     jm = meta.reshape(-1, 2)[cm, 1].astype(np.int32)
     jmi = np.ones(len(jsrc), npdt)
     rows_out, rids_out, redo = bwd_all(snap, jsrc, lanes, jx, jm, jmi)
-    from .smem import _scalar_reseed, _scalar_round1
-    for ri in np.flatnonzero(ovfA):
-        rows = _scalar_round1(opt, fmi, reads[ri], int(lens_np[ri]))
-        rows_out.append(rows)
-        rids_out.append(np.full(len(rows), ri, np.int64))
-    for (ri, x, mi) in redo:
-        rows = _scalar_reseed(opt, fmi, reads[ri], int(lens_np[ri]),
-                              x, mi)
-        rows_out.append(rows)
-        rids_out.append(np.full(len(rows), ri, np.int64))
+    sc_jobs = [(int(ri), 0, 1, False) for ri in np.flatnonzero(ovfA)]
+    sc_jobs += [(ri, x, mi, True) for (ri, x, mi) in redo]
+    ro, io, left = second_chance(sc_jobs)
+    rows_out += ro
+    rids_out += io
+    run_scalar(left, rows_out, rids_out)
     r1_rows = np.concatenate(rows_out) if rows_out \
         else np.zeros((0, 5), np.int64)
     r1_rids = np.concatenate(rids_out) if rids_out \
@@ -484,9 +609,9 @@ def rounds12_split(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         rows_out += ro
         rids_out += io
         redo2 += rd
-    for (ri, x, mi) in redo2:
-        rows = _scalar_reseed(opt, fmi, reads[ri], int(lens_np[ri]),
-                              x, mi)
-        rows_out.append(rows)
-        rids_out.append(np.full(len(rows), ri, np.int64))
+    ro, io, left = second_chance([(ri, x, mi, True)
+                                  for (ri, x, mi) in redo2])
+    rows_out += ro
+    rids_out += io
+    run_scalar(left, rows_out, rids_out)
     return np.concatenate(rows_out), np.concatenate(rids_out)
