@@ -35,6 +35,39 @@ def t_sync(fn, reps=3):
     return min(best), best
 
 
+def isolated_seed(args, fmi, didx, qd_unused=None):
+    """Time collect_intv_device + SA positions for a fresh 8192-read
+    chunk, no extension running — isolates seeding from link/thread
+    contention with the rest of the pipeline."""
+    from tpubwa.opts import MemOpt
+    from tpubwa.device.pipeline import DeviceAligner
+    import jax.numpy as jnp
+    opt = MemOpt()
+    al = DeviceAligner.__new__(DeviceAligner)
+    al.opt = opt
+    al.fmi = fmi
+    al.didx = didx
+    al.put_sharded = jnp.asarray
+    al.put_repl = jnp.asarray
+    al.chunk_reads = 8192
+    rng = np.random.default_rng(11)
+    from tpubwa.io.fastq import Read
+    codes = fmi.bnt.codes
+    for rep in range(3):
+        poss = rng.integers(0, len(codes) - 200, 8192)
+        reads = []
+        for p in poss:
+            r = codes[p:p + 100].copy()
+            mut = rng.random(100) < 0.01
+            r[mut] = (r[mut] + 1) % 4
+            reads.append(Read(name="x", seq=r, qual=None))
+        t0 = time.perf_counter()
+        intv, sapos = al._seed_chunk(reads)
+        dt = time.perf_counter() - t0
+        print(f"[exp] isolated _seed_chunk rep{rep}: {dt*1e3:.0f} ms "
+              f"({len(intv[0])} rows)", file=sys.stderr, flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=int, default=64)
@@ -54,7 +87,10 @@ def main():
 
     fmi = cached_index(args.mb)
     opt = MemOpt()
+    print("[exp] creating DeviceIndex (H2D)...", file=sys.stderr,
+          flush=True)
     didx = DeviceIndex.from_fmindex(fmi)
+    print("[exp] DeviceIndex on device", file=sys.stderr, flush=True)
     rng = np.random.default_rng(7)
     B = args.reads
     L = 100
@@ -143,8 +179,9 @@ def main():
             print(f"[exp] bwd {name} ({len(idx)} lanes, pad "
                   f"{len(jb)}) max_rounds={mr}: {dt*1e3:.1f} ms "
                   f"{['%.0f' % (a*1e3) for a in alls]}")
-    for s in ss.SEED_STATS:
-        print(f"[exp] stat {s}")
+    for st in ss.SEED_STATS:
+        print(f"[exp] stat {st}")
+    isolated_seed(args, fmi, didx)
 
 
 if __name__ == "__main__":

@@ -169,3 +169,56 @@ def test_call_overflow_second_chance(setup):
         mine = rows[rids == i]
         gk = sorted(tuple(int(v) for v in x) for x in mine)
         assert gk == sorted(want), f"read {i}"
+
+
+def test_fused_machine_equals_scalar(setup):
+    """mode='fused' (one dispatch per round) == scalar oracle,
+    including repetitive / N / garbage reads and the second-chance
+    retry (forced small caps are covered by the tests above)."""
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    rng = np.random.default_rng(5)
+    opt = MemOpt()
+    reads = []
+    for t in range(10):
+        start = int(rng.integers(0, len(codes) - 110))
+        q = text[start:start + 100].copy()
+        for _ in range(int(rng.integers(0, 6))):
+            q[int(rng.integers(0, 100))] = int(rng.integers(0, 5))
+        reads.append(q)
+    reads.append(np.tile(unit, 3)[:100].copy())
+    reads.append(rng.integers(0, 4, 100).astype(np.uint8))
+    q = text[700:800].copy()
+    q[50] = 4
+    reads.append(q)
+    arr, lens = _pack_reads(reads, 100)
+    got = collect_intv_device(opt, didx, arr, lens, fmi=fmi,
+                              mode="fused")
+    for i, r in enumerate(reads):
+        want = collect_intv(opt, fmi, r)
+        wk = sorted((m.qb, m.qe, m.size, m.x0, m.x1) for m in want)
+        gk = sorted((int(x[3]), int(x[4]), int(x[2]), int(x[0]),
+                     int(x[1])) for x in got[i])
+        assert gk == wk, f"read {i}"
+
+
+def test_fused_overflow_retry(setup, monkeypatch):
+    """Forced tiny caps push lanes through the fused second chance
+    and the scalar fallback; output must not change."""
+    import tpubwa.device.smem_fused as sf
+    import tpubwa.device.smem_split as ss
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    opt = MemOpt()
+    monkeypatch.setattr(ss, "_stack_P", lambda d: 8)
+    reads = [np.tile(unit, 3)[:100].copy(),
+             text[100:200].copy(), text[400:500].copy()]
+    arr, lens = _pack_reads(reads, 100)
+    got = collect_intv_device(opt, didx, arr, lens, fmi=fmi,
+                              mode="fused")
+    for i, r in enumerate(reads):
+        want = collect_intv(opt, fmi, r)
+        wk = sorted((m.qb, m.qe, m.size, m.x0, m.x1) for m in want)
+        gk = sorted((int(x[3]), int(x[4]), int(x[2]), int(x[0]),
+                     int(x[1])) for x in got[i])
+        assert gk == wk, f"read {i}"

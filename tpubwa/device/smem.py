@@ -367,14 +367,14 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     overflow fallback is unavailable, so the call degrades to the
     all-starts reach path instead of crashing on repetitive input.
 
-    mode: 'split' (default; phase-split fwd/bwd machines —
-    smem_split.py, ~4x fewer occ gathers), 'cursor' (combined
-    machine), 'reach' (all-starts formulation).  TPUBWA_SEED_MODE
-    overrides."""
+    mode: 'fused' (default; one dispatch per seeding round —
+    smem_fused.py), 'split' (phase-split fwd/bwd machines —
+    smem_split.py), 'cursor' (combined machine), 'reach' (all-starts
+    formulation).  TPUBWA_SEED_MODE overrides."""
     import os
     if mode is None:
         mode = os.environ.get("TPUBWA_SEED_MODE",
-                              "split" if use_cursor else "reach")
+                              "fused" if use_cursor else "reach")
     if mode != "reach" and fmi is None:
         mode = "reach"
     use_cursor = mode != "reach"
@@ -402,7 +402,12 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     blocks = []
     rids = []
     if use_cursor:
-        if mode == "split":
+        if mode == "fused":
+            from .smem_fused import rounds12_fused
+            rows12, rids12 = rounds12_fused(opt, didx, qd, ld, lens_np,
+                                            reads, split_len, fmi,
+                                            put=put_sharded)
+        elif mode == "split":
             from .smem_split import rounds12_split
             rows12, rids12 = rounds12_split(opt, didx, qd, ld, lens_np,
                                             reads, split_len, fmi,

@@ -1,0 +1,394 @@
+"""Single-dispatch bwt_smem1a machine (bwt.c:bwt_smem1a:~400; scalar
+spec tpubwa/ref/smem.py:smem1a).
+
+The phase-split machines (smem_split.py) cut occ gathers ~4x but pay a
+~50 ms link floor per dispatch (measured, scripts/exp_machine_cost.py:
+dispatch+sync RTT ~40 ms + D2H) and round 1 needs 4-6 dispatches per
+chunk (fwd, 2-4 span-bucketed bwd groups, plus job-construction D2H
+of the call metadata).  At chunk granularity the fixed costs dominate
+the actual BWT work.
+
+This module runs ONE program per seeding round:
+
+  phase A (fwd)   identical to smem_split.smem_fwd_machine — records
+                  per-call stack snapshots + metadata, all on device.
+  phase B (bwd)   one lane per READ; each lane walks its calls
+                  sequentially (call c's snapshot is flip-loaded from
+                  phase A's buffer with an in-loop gather), running
+                  the exact backward pass of the split bwd machine.
+                  Total rounds = max over reads of the summed
+                  backward spans (~2x a span bucket's rounds, far
+                  cheaper than 3-5 extra link floors).
+  pack            emissions compact via a global cumsum before D2H
+                  (the MAXR-slot buffer is ~90% zeros).
+
+Overflow lanes (stack > P, calls > MAXC, emissions > MAXR, pack
+spill, round caps) are flagged in aux; the caller retries them on a
+deeper-capacity instance of the same machine and only then falls back
+to the host scalar reference — bit-identity is preserved, not
+approximated (tests/test_device_smem.py pins the full protocol).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .occ import DeviceIndex, bwt_extend, set_intv
+from .smem_split import _sel_base, _pad_pow2, SEED_STATS
+
+I32 = jnp.int32
+
+RESTART, FWD, DONE = 0, 1, 3
+
+
+@partial(jax.jit, static_argnames=("P", "MAXC", "MAXR", "CAPF",
+                                   "min_seed_len", "max_rounds_f",
+                                   "max_rounds_b"))
+def smem_call_machine(didx: DeviceIndex, q: jnp.ndarray,
+                      lens: jnp.ndarray, jobs: jnp.ndarray,
+                      P: int, MAXC: int, MAXR: int, CAPF: int,
+                      min_seed_len: int, max_rounds_f: int = 2048,
+                      max_rounds_b: int = 1024):
+    """Full smem1a (fwd + bwd) for N independent lanes, one dispatch.
+
+    jobs idt [N, 8] — columns 0..3 = (read, x0, min_intv, one_shot).
+    Returns flat idt: packed rows [CAPF * N, 5] (x0, x1, size, qb, qe;
+    lane-major, call-ascending, emission order within call), aux [N] =
+    mem_n | stack-ovf << 27 | call-ovf << 28 | emit-ovf << 29 |
+    any-ovf << 30, rounds_f, rounds_b."""
+    dt = didx.idt
+    read = jobs[:, 0].astype(I32)
+    x0j = jobs[:, 1].astype(I32)
+    min_intv = jobs[:, 2].astype(dt)
+    one_shot = jobs[:, 3] != 0
+    N = read.shape[0]
+    L = q.shape[1]
+    jidx = jnp.arange(P, dtype=I32)[None, :]
+    cidx = jnp.arange(MAXC, dtype=I32)[None, :]
+    len_i = lens[read].astype(I32)
+
+    def q_at(pos):
+        p = jnp.clip(pos, 0, L - 1)
+        return q[read, p].astype(I32)
+
+    # ---------------- phase A: forward ----------------
+    stA = dict(
+        phase=jnp.zeros(N, I32),
+        x=x0j,
+        i=jnp.zeros(N, I32),
+        ik=jnp.zeros((N, 3), dt),
+        ik_qe=jnp.zeros(N, I32),
+        m=jnp.zeros(N, I32),
+        call=jnp.zeros(N, I32),
+        snap=jnp.zeros((N, MAXC, P, 4), dt),
+        meta=jnp.zeros((N, MAXC, 2), I32),
+        ovf_s=jnp.zeros(N, bool),
+        ovf_c=jnp.zeros(N, bool),
+        rounds=jnp.zeros((), I32),
+    )
+
+    def condA(s):
+        return jnp.any(s["phase"] != DONE) & (s["rounds"] < max_rounds_f)
+
+    def bodyA(s):
+        phase, x, i = s["phase"], s["x"], s["i"]
+        ik, ik_qe, m, call = s["ik"], s["ik_qe"], s["m"], s["call"]
+        snap, meta = s["snap"], s["meta"]
+        ovf_s, ovf_c = s["ovf_s"], s["ovf_c"]
+
+        rs = phase == RESTART
+        done_read = rs & (x >= len_i)
+        cx = q_at(x)
+        amb0 = rs & ~done_read & (cx > 3)
+        start = rs & ~done_read & (cx <= 3)
+        phase = jnp.where(done_read | (amb0 & one_shot), DONE, phase)
+        x = jnp.where(amb0 & ~one_shot, x + 1, x)
+        ik = jnp.where(start[:, None],
+                       set_intv(didx, jnp.clip(cx, 0, 3)), ik)
+        ik_qe = jnp.where(start, x + 1, ik_qe)
+        i = jnp.where(start, x + 1, i)
+        m = jnp.where(start, 0, m)
+        phase = jnp.where(start, FWD, phase)
+
+        fw = phase == FWD
+        at_end = fw & (i >= len_i)
+        ci = q_at(i)
+        amb = fw & ~at_end & (ci > 3)
+        okf = bwt_extend(didx, ik, is_back=False)
+        nik = _sel_base(okf, 3 - ci)
+        schange = fw & ~at_end & ~amb & (nik[:, 2] != ik[:, 2])
+        failf = schange & (nik[:, 2] < min_intv)
+        push = at_end | amb | schange
+        can_push = push & (m < P) & (call < MAXC)
+        ovf_s = ovf_s | (push & (m >= P))
+        row = jnp.concatenate([ik, ik_qe[:, None].astype(dt)], axis=1)
+        wmask = (can_push[:, None, None]
+                 & (cidx == call[:, None])[:, :, None]
+                 & (jidx == m[:, None])[:, None, :])
+        snap = jnp.where(wmask[:, :, :, None], row[:, None, None, :],
+                         snap)
+        m = m + push.astype(I32)
+        adv = fw & ~at_end & ~amb & ~failf
+        ik = jnp.where(adv[:, None], nik, ik)
+        ik_qe = jnp.where(adv, i + 1, ik_qe)
+        i = jnp.where(adv, i + 1, i)
+
+        trans = at_end | amb | failf
+        rec = trans & (call < MAXC)
+        mmask = rec[:, None] & (cidx == call[:, None])
+        mrow = jnp.stack([x, m], axis=1)
+        meta = jnp.where(mmask[:, :, None], mrow[:, None, :], meta)
+        ovf_c = ovf_c | (trans & (call >= MAXC))
+        call = call + trans.astype(I32)
+        phase = jnp.where(trans & one_shot, DONE, phase)
+        x = jnp.where(trans & ~one_shot, ik_qe, x)
+        phase = jnp.where(trans & ~one_shot, RESTART, phase)
+        phase = jnp.where(ovf_s | ovf_c, DONE, phase)
+
+        return dict(phase=phase, x=x, i=i, ik=ik, ik_qe=ik_qe, m=m,
+                    call=call, snap=snap, meta=meta, ovf_s=ovf_s,
+                    ovf_c=ovf_c, rounds=s["rounds"] + 1)
+
+    outA = jax.lax.while_loop(condA, bodyA, stA)
+    hungA = (outA["phase"] != DONE) & ~outA["ovf_s"] & ~outA["ovf_c"]
+    ovf_s = outA["ovf_s"]
+    ovf_c = outA["ovf_c"] | hungA
+    nc = jnp.where(ovf_s | ovf_c, 0, outA["call"])  # ovf: skip bwd
+
+    # flip snapshots push-order -> ascending-size once, up front (the
+    # per-round load is then a flat row gather)
+    snapA = outA["snap"]                       # [N, MAXC, P, 4]
+    meta_m = outA["meta"][:, :, 1]             # [N, MAXC]
+    flip_idx = jnp.clip(meta_m[:, :, None] - 1 - jidx[None], 0, P - 1)
+    oh = flip_idx[..., None] == jidx[None, :, None, :]  # [N,MAXC,P,P]
+    flip = jnp.sum(jnp.where(oh[..., None], snapA[:, :, None, :, :],
+                             0), axis=3, dtype=snapA.dtype)
+    flip = jnp.where((jidx[None] < meta_m[:, :, None])[..., None],
+                     flip, 0)
+    flip_flat = flip.reshape(N * MAXC, P, 4)
+    meta_x = outA["meta"][:, :, 0]
+    lane = jnp.arange(N, dtype=I32)
+
+    # ---------------- phase B: backward, calls sequential ----------
+    stB = dict(
+        c=jnp.zeros(N, I32),
+        need=jnp.ones(N, bool),
+        i=jnp.zeros(N, I32),
+        st=jnp.zeros((N, P, 4), dt),
+        m=jnp.zeros(N, I32),
+        cem=jnp.zeros(N, bool),
+        lqb=jnp.zeros(N, I32),
+        mem=jnp.zeros((N, MAXR, 5), dt),
+        mem_n=jnp.zeros(N, I32),
+        eovf=jnp.zeros(N, bool),
+        rounds=jnp.zeros((), I32),
+    )
+
+    def condB(s):
+        return (jnp.any((s["c"] < nc) & ~s["eovf"])
+                & (s["rounds"] < max_rounds_b))
+
+    def bodyB(s):
+        c, need, i, st, m = s["c"], s["need"], s["i"], s["st"], s["m"]
+        cem, lqb = s["cem"], s["lqb"]
+        mem, mem_n, eovf = s["mem"], s["mem_n"], s["eovf"]
+        act = (c < nc) & ~eovf      # overflowed lanes are discarded
+        cc = jnp.clip(c, 0, MAXC - 1)
+        csel = cidx == cc[:, None]                       # [N, MAXC]
+        x_c = jnp.sum(jnp.where(csel, meta_x, 0), axis=1, dtype=I32)
+        m_c = jnp.sum(jnp.where(csel, meta_m, 0), axis=1, dtype=I32)
+        ld = flip_flat[lane * MAXC + cc]                 # [N, P, 4]
+        ld_now = act & need
+        st = jnp.where(ld_now[:, None, None], ld, st)
+        m = jnp.where(ld_now, m_c, m)
+        i = jnp.where(ld_now, x_c - 1, i)
+        cem = jnp.where(ld_now, False, cem)
+        lqb = jnp.where(ld_now, 0, lqb)
+        need = need & ~ld_now
+
+        bw = act & (m > 0)
+        neg = (i < 0) | (q_at(i) > 3)
+        cb = jnp.clip(q_at(i), 0, 3)
+        okb = bwt_extend(didx, st[:, :, :3], is_back=True)
+        okc = _sel_base(okb, jnp.broadcast_to(cb[:, None], (N, P)))
+        szs = okc[:, :, 2]
+        validj = jidx < m[:, None]
+        ext = validj & ~neg[:, None] & (szs >= min_intv[:, None])
+        ext0 = ext[:, 0]
+        emitc = bw & (m > 0) & ~ext0
+        cond2 = ~cem | (i + 1 < lqb)
+        do_emit = emitc & cond2
+        p0 = st[:, 0]
+        len_ok = (p0[:, 3].astype(I32) - (i + 1)) >= min_seed_len
+        store = do_emit & len_ok
+        can_store = store & (mem_n < MAXR)
+        eovf = eovf | (store & (mem_n >= MAXR))
+        erow = jnp.concatenate(
+            [p0[:, :3], (i + 1)[:, None].astype(dt), p0[:, 3:4]],
+            axis=1)
+        mslot = can_store[:, None] & (jnp.arange(MAXR, dtype=I32)[None]
+                                      == mem_n[:, None])
+        mem = jnp.where(mslot[:, :, None], erow[:, None, :], mem)
+        mem_n = mem_n + can_store.astype(I32)
+        cem = jnp.where(do_emit, True, cem)
+        lqb = jnp.where(do_emit, i + 1, lqb)
+        prev_ext = jnp.concatenate(
+            [jnp.zeros((N, 1), bool), ext[:, :-1]], axis=1)
+        prev_sz = jnp.concatenate(
+            [jnp.full((N, 1), -1, dt), szs[:, :-1]], axis=1)
+        kept = ext & (~prev_ext | (szs != prev_sz))
+        new_m = jnp.sum(kept, axis=1).astype(I32)
+        dest = jnp.cumsum(kept.astype(I32), axis=1) - 1
+        newrow = jnp.concatenate([okc, st[:, :, 3:4]], axis=2)
+        oh2 = kept[:, None, :] & (dest[:, None, :] == jidx[:, :, None])
+        compacted = jnp.sum(
+            jnp.where(oh2[:, :, :, None], newrow[:, None, :, :], 0),
+            axis=2, dtype=newrow.dtype)
+        st = jnp.where(bw[:, None, None], compacted, st)
+        m = jnp.where(bw, new_m, m)
+        deadb = act & (m == 0)
+        c = c + deadb.astype(I32)
+        need = need | deadb
+        i = jnp.where(bw & (m > 0), i - 1, i)
+        return dict(c=c, need=need, i=i, st=st, m=m, cem=cem, lqb=lqb,
+                    mem=mem, mem_n=mem_n, eovf=eovf,
+                    rounds=s["rounds"] + 1)
+
+    outB = jax.lax.while_loop(condB, bodyB, stB)
+    hungB = (outB["c"] < nc) & ~outB["eovf"]
+    eovf = outB["eovf"] | hungB
+    overflow = ovf_s | ovf_c | eovf
+    aux = (outB["mem_n"] | (ovf_s.astype(I32) << 27)
+           | (ovf_c.astype(I32) << 28) | (eovf.astype(I32) << 29)
+           | (overflow.astype(I32) << 30))
+
+    cap = CAPF * N
+    eff = jnp.where(overflow, 0, outB["mem_n"])
+    ends = jnp.cumsum(eff)
+    base = ends - eff
+    jm = jnp.arange(MAXR, dtype=I32)[None, :]
+    tgt = base[:, None] + jm
+    valid = (jm < eff[:, None]) & (tgt < cap)
+    tgt = jnp.where(valid, tgt, cap)
+    packed = jnp.zeros((cap + 1, 5), dt).at[tgt.reshape(-1)].set(
+        outB["mem"].reshape(-1, 5), mode="drop")
+    return jnp.concatenate(
+        [packed[:cap].reshape(-1), aux.astype(dt),
+         outA["rounds"].astype(dt)[None], outB["rounds"].astype(dt)[None]])
+
+
+def run_call_machine(didx, qd, ld, read, x0, min_intv, one_shot,
+                     P, MAXC, MAXR, CAPF, min_seed_len,
+                     put=jnp.asarray):
+    """Pad lanes to pow2, dispatch, decode.  Returns (rows [total, 5]
+    np — valid emissions lane-major; eff [n] per-lane counts (0 for
+    overflow/spilled lanes); ovf [n] lanes for the retry path)."""
+    n = len(read)
+    mpad = _pad_pow2(n)
+    npdt = didx.np_idt
+    jobs = np.zeros((mpad, 8), npdt)
+    jobs[:, 1] = 1 << 30                 # pad lanes: x >= len -> DONE
+    jobs[:, 2] = 1
+    jobs[:, 3] = 1
+    jobs[:n, 0] = read
+    jobs[:n, 1] = x0
+    jobs[:n, 2] = min_intv
+    jobs[:n, 3] = one_shot
+    buf = np.asarray(smem_call_machine(
+        didx, qd, ld, put(jobs), P, MAXC, MAXR, CAPF,
+        int(min_seed_len)))
+    cap = CAPF * mpad
+    rows = buf[:cap * 5].reshape(cap, 5)
+    aux = buf[cap * 5:][:mpad].astype(np.int64)
+    mem_n = (aux & 0xFFFF).astype(np.int32)
+    ovf = (aux >> 30) != 0
+    eff = np.where(ovf, 0, mem_n)
+    ends = np.cumsum(eff)
+    spill = ends > cap
+    ovf = ovf | spill
+    eff = np.where(spill, 0, eff)
+    base = ends - eff
+    from .smem_split import _row_offsets
+    sel = np.repeat(base[:n], eff[:n]) + _row_offsets(eff[:n])
+    SEED_STATS.append(("call", mpad, n, int(buf[-2]) + int(buf[-1]),
+                       int(np.count_nonzero(ovf[:n])),
+                       int(np.count_nonzero(spill[:n]))))
+    return rows[sel], eff[:n], ovf[:n]
+
+
+def rounds12_fused(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
+                   put=jnp.asarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Rounds 1-2 of mem_collect_intv, one dispatch per round (plus a
+    deeper-capacity retry pass for overflow lanes).  Same contract as
+    smem_split.rounds12_split: flat (rows [n,5] int64, read_ids [n]),
+    unsorted."""
+    B = len(lens_np)
+    npdt = didx.np_idt
+    from .smem_split import _stack_P
+    P = _stack_P(didx)
+    MAXC = 8 if np.asarray(reads).shape[1] <= 192 else 16
+    P2, MAXC2, MAXR2 = 32, 32, 48
+
+    def run_scalar(jobs, rows_out, rids_out):
+        from .smem import _scalar_reseed, _scalar_round1
+        for (ri, x, mi, osh) in jobs:
+            if osh:
+                rows = _scalar_reseed(opt, fmi, reads[ri],
+                                      int(lens_np[ri]), x, mi)
+            else:
+                rows = _scalar_round1(opt, fmi, reads[ri],
+                                      int(lens_np[ri]))
+            rows_out.append(rows)
+            rids_out.append(np.full(len(rows), ri, np.int64))
+
+    def second_chance(jobs, rows_out, rids_out):
+        if not jobs:
+            return
+        jr = np.array([j[0] for j in jobs], np.int32)
+        jx0 = np.array([j[1] for j in jobs], np.int32)
+        jmi = np.array([j[2] for j in jobs], npdt)
+        josh = np.array([j[3] for j in jobs], bool)
+        rows, eff, ovf = run_call_machine(
+            didx, qd, ld, jr, jx0, jmi, josh, P2, MAXC2, MAXR2, 8,
+            opt.min_seed_len, put=put)
+        rows_out.append(rows.astype(np.int64))
+        rids_out.append(np.repeat(jr.astype(np.int64), eff))
+        run_scalar([jobs[k] for k in np.flatnonzero(ovf)],
+                   rows_out, rids_out)
+
+    # ---- round 1
+    rows1, eff1, ovf1 = run_call_machine(
+        didx, qd, ld, np.arange(B, dtype=np.int32),
+        np.zeros(B, np.int32), np.ones(B, npdt), np.zeros(B, bool),
+        P, MAXC, 24, 5, opt.min_seed_len, put=put)
+    rows_out = [rows1.astype(np.int64)]
+    rids_out = [np.repeat(np.arange(B, dtype=np.int64), eff1)]
+    second_chance([(int(ri), 0, 1, False)
+                   for ri in np.flatnonzero(ovf1)], rows_out, rids_out)
+    r1_rows = np.concatenate(rows_out)
+    r1_rids = np.concatenate(rids_out)
+
+    # ---- round 2: re-seed long low-occ SMEMs (one-shot calls)
+    jsel = ((r1_rows[:, 4] - r1_rows[:, 3] >= split_len)
+            & (r1_rows[:, 2] <= opt.split_width))
+    job_rid = r1_rids[jsel].astype(np.int32)
+    if not len(job_rid):
+        return r1_rows, r1_rids
+    job_x = ((r1_rows[jsel, 3] + r1_rows[jsel, 4]) >> 1) \
+        .astype(np.int32)
+    job_mi = (r1_rows[jsel, 2] + 1).astype(npdt)
+    rows2, eff2, ovf2 = run_call_machine(
+        didx, qd, ld, job_rid, job_x, job_mi,
+        np.ones(len(job_rid), bool), P, 1, 12, 3,
+        opt.min_seed_len, put=put)
+    rows_out = [r1_rows, rows2.astype(np.int64)]
+    rids_out = [r1_rids, np.repeat(job_rid.astype(np.int64), eff2)]
+    second_chance([(int(job_rid[k]), int(job_x[k]), int(job_mi[k]),
+                    True) for k in np.flatnonzero(ovf2)],
+                  rows_out, rids_out)
+    return np.concatenate(rows_out), np.concatenate(rids_out)
