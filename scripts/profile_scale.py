@@ -110,6 +110,9 @@ def main():
     wrap(ss, "_decode_bwd", "    bwd-decode(sync)")
     wrap(sm, "_scalar_round1", "    scalar-redo-r1")
     wrap(sm, "_scalar_reseed", "    scalar-redo-r2")
+    import tpubwa.device.smem_fused as sf
+    wrap(sf, "rounds12_fused", "  rounds12-fused")
+    wrap(sf, "run_call_machine", "    call-machine(sync)")
     import tpubwa.host.native_emit as ne
     wrap(ne, "chain_batch_native", "  chain-native")
     import tpubwa.device.extend_fused as ef
@@ -143,7 +146,7 @@ def main():
     ext = aligner.extender
     print(f"[prof]   waves={ext.n_waves} jobs={ext.n_jobs} "
           f"fallback={ext.n_fallback}", file=sys.stderr)
-    for kind in ("fwd", "bwd"):
+    for kind in ("fwd", "bwd", "call"):
         ms = [s for s in ss.SEED_STATS if s[0] == kind]
         if not ms:
             continue
@@ -153,7 +156,8 @@ def main():
         a = sum(m[4] for m in ms)
         b = sum(m[5] for m in ms)
         cause = ("stack-ovf", "call-ovf") if kind == "fwd" \
-            else ("redo", "spill")
+            else ("redo", "spill") if kind == "bwd" \
+            else ("ovf", "spill")
         print(f"[prof]   {kind}-machines: {len(ms)} dispatches, "
               f"{lanes} lanes ({live} live), {rnds} total rounds "
               f"(mean {rnds / len(ms):.0f}), "

@@ -206,3 +206,34 @@ def test_long_reads_accelerated_up_to_510bp(setup):
     want = [align1_core(opt, fmi, r, mat) for r in reads]
     assert [_regs_key(r) for r in got] == [_regs_key(r) for r in want]
     assert all(len(r) >= 1 for r in got)
+
+
+def test_spec_extension_equals_wave_loop(setup, monkeypatch):
+    """Speculative single-wave extension (all seeds extended upfront,
+    plan replayed against precomputed rows) must be region-identical
+    to the sequential wave loop — extension results are pure functions
+    of (seed, chain window); only consumption depends on the skip
+    tests."""
+    d, codes, prefix, fmi = setup
+    rng = np.random.default_rng(29)
+    opt = MemOpt()
+    reads = []
+    for t in range(24):
+        start = int(rng.integers(0, len(codes) - 130))
+        L = int(rng.integers(40, 110))
+        q = codes[start:start + L].copy()
+        for _ in range(int(rng.integers(0, 6))):
+            q[int(rng.integers(0, L))] = int(rng.integers(0, 5))
+        reads.append(Read(name=f"sp{t}", seq=q, qual=None))
+    unit = codes[12000:12040]
+    reads.append(Read(name="rep", seq=np.tile(unit, 3)[:100].copy(),
+                      qual=None))
+    a1 = make_device_aligner(opt, fmi, platform="cpu")
+    spec = a1.align_batch(reads)
+    assert a1.extender.n_waves == 1          # the point of the mode
+    monkeypatch.setenv("TPUBWA_NO_SPEC_EXT", "1")
+    a2 = make_device_aligner(opt, fmi, platform="cpu")
+    wave = a2.align_batch(reads)
+    assert a2.extender.n_waves >= 1
+    assert [_regs_key(r) for r in spec] == [_regs_key(r) for r in wave]
+    assert sum(len(r) for r in spec) > 0

@@ -247,7 +247,12 @@ def extend_seed_desc_np(didx, qd, jobs, mat, o_del, e_del, o_ins,
     desc[:, 7] = 1   # w > 0
     for slot, i in enumerate(order):
         desc[slot] = da[i]
-    step = N if N <= JOBS else min(4 * CH, N)
+    # one dispatch per wave by default: each extra dispatch+sync costs
+    # ~40-50 ms of link floor (scripts/exp_machine_cost.py); the
+    # program internally unrolls N/CH Pallas launches
+    import os as _os
+    step_ch = int(_os.environ.get("TPUBWA_EXT_STEP", 16))
+    step = N if N <= JOBS else min(step_ch * CH, N)
     futs = []
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -157,6 +157,13 @@ def load_bwacore():
         lib.tpubwa_plan_feed.restype = None
         lib.tpubwa_plan_feed.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
+        lib.tpubwa_plan_spec_jobs.restype = ctypes.c_int64
+        lib.tpubwa_plan_spec_jobs.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64]
+        lib.tpubwa_plan_feed_spec.restype = None
+        lib.tpubwa_plan_feed_spec.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
         lib.tpubwa_plan_regions.restype = ctypes.c_int64
         lib.tpubwa_plan_free.restype = None
         lib.tpubwa_plan_free.argtypes = [ctypes.c_void_p]

@@ -1484,6 +1484,7 @@ struct ChainState {
     std::vector<int> srt;       // seed indexes by (score, idx) asc
     std::vector<char> alive;
     int k = -1;                 // current srt position (descending)
+    std::vector<int> rowidx;    // speculative mode: seed -> device row
 };
 
 struct ReadState {
@@ -1950,6 +1951,89 @@ i64 tpubwa_plan_next_wave(void* h, i64* desc_out, i64 cap) {
         }
     }
     return n;
+}
+
+// Speculative mode (regions.py:extension_plan invariant): a seed's
+// fused-extension result depends only on (seed, chain window) — the
+// wave-order dependency through av only gates which results are
+// CONSUMED.  Emit every device-eligible seed job upfront so the
+// device runs ONE wave per chunk (each extra wave costs a ~40-50 ms
+// dispatch+sync link floor), then replay the exact plan order against
+// the precomputed rows in tpubwa_plan_feed_spec.  Skipped seeds'
+// rows are discarded; oversize / no-DP seeds resolve at replay time
+// in plan order, exactly as the wave loop would.
+i64 tpubwa_plan_spec_jobs(void* h, i64* desc_out, i64 cap) {
+    PlanCtx* ctx = (PlanCtx*)h;
+    const PlanOpt& o = ctx->o;
+    i64 n = 0;
+    for (size_t ri = 0; ri < ctx->reads.size(); ++ri) {
+        ReadState& rs = ctx->reads[ri];
+        i64 l_query = ctx->ql[ri];
+        for (ChainState& cs : rs.chains) {
+            cs.rowidx.assign(cs.ch.seeds.size(), -1);
+            for (size_t si = 0; si < cs.ch.seeds.size(); ++si) {
+                const Seed& s = cs.ch.seeds[si];
+                i64 qe = s.qbeg + s.len;
+                i64 qlen_r = l_query - qe;
+                i64 tlen_l = s.qbeg ? (s.rbeg - cs.rmax0) : 0;
+                i64 tlen_r = qlen_r ? (cs.rmax1 - s.rbeg - s.len) : 0;
+                if (s.qbeg == 0 && qlen_r == 0) continue;
+                if (s.qbeg > o.qmax || qlen_r > o.qmax
+                        || tlen_l > o.tmax || tlen_r > o.tmax)
+                    continue;
+                if (n >= cap) return -1;  // caller re-sizes
+                i64* d = desc_out + n * 11;
+                d[0] = (i64)ri; d[1] = s.qbeg; d[2] = s.len;
+                d[3] = l_query; d[4] = s.rbeg; d[5] = cs.rmax0;
+                d[6] = cs.rmax1; d[7] = o.w; d[8] = s.len * o.a;
+                d[9] = o.pen_clip5; d[10] = o.pen_clip3;
+                cs.rowidx[si] = (int)n;
+                ++n;
+            }
+        }
+    }
+    return n;
+}
+
+// rows: int32 [n, 16] in tpubwa_plan_spec_jobs order; runs the whole
+// plan (skip tests, consumption, scalar fallbacks) to completion
+void tpubwa_plan_feed_spec(void* h, const int32_t* rows) {
+    PlanCtx* ctx = (PlanCtx*)h;
+    const PlanOpt& o = ctx->o;
+    for (size_t ri = 0; ri < ctx->reads.size(); ++ri) {
+        ReadState& rs = ctx->reads[ri];
+        if (rs.done) continue;
+        const u8* query = ctx->qs[ri];
+        i64 l_query = ctx->ql[ri];
+        for (; rs.ci < rs.chains.size(); ++rs.ci) {
+            ChainState& cs = rs.chains[rs.ci];
+            for (; cs.k >= 0; --cs.k) {
+                int si = cs.srt[(size_t)cs.k];
+                const Seed& s = cs.ch.seeds[(size_t)si];
+                if (seed_skippable(o, cs, s, l_query, rs.av, cs.k)) {
+                    cs.alive[(size_t)si] = 0;
+                    continue;
+                }
+                i64 qe = s.qbeg + s.len;
+                i64 qlen_r = l_query - qe;
+                if (s.qbeg == 0 && qlen_r == 0) {
+                    int32_t row[16] = {0};
+                    consume_row(o, cs, s, l_query, row, rs.av);
+                    continue;
+                }
+                int idx = cs.rowidx[(size_t)si];
+                if (idx >= 0) {
+                    consume_row(o, cs, s, l_query,
+                                rows + (i64)idx * 16, rs.av);
+                } else {
+                    int32_t row[16];
+                    scalar_fused_row(ctx, cs, s, query, l_query, row);
+                    consume_row(o, cs, s, l_query, row, rs.av);
+                }
+            }
+        }
+        rs.done = true;
+    }
 }
 
 // rows: int32 [wave_n, 16] device results, in wave order
