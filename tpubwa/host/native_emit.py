@@ -264,11 +264,29 @@ def plan_batch_native(opt: MemOpt, fmi, reads: Sequence, intv_rows,
     try:
         n_waves = n_jobs = 0
         if not os.environ.get("TPUBWA_NO_SPEC_EXT"):
-            # speculative single-wave mode: every device-eligible seed
-            # extends upfront (results are independent of the skip
-            # tests that decide consumption), then the plan replays in
-            # C++ — one device dispatch per chunk instead of 2-4
-            cap = 4 * len(reads) + 64
+            # exact wave 1, then speculate the rest: all remaining
+            # seeds not skippable against wave-1's regions extend in
+            # one batch and the plan replays in C++ — 2 device
+            # dispatches per chunk instead of 2-4, with only a few %
+            # of discarded rows (full speculation from an empty av
+            # measured ~3x job inflation)
+            cap = len(reads) + 8
+            desc = np.zeros((cap, 11), np.int64)
+            while True:
+                n = lib.tpubwa_plan_next_wave(h, P(desc, i64p),
+                                              ctypes.c_int64(cap))
+                if n == -1:
+                    cap *= 2
+                    desc = np.zeros((cap, 11), np.int64)
+                    continue
+                break
+            if n > 0:
+                rows = np.ascontiguousarray(extend_fn(desc[:n]),
+                                            np.int32)
+                lib.tpubwa_plan_feed(h, P(rows, i32p))
+                n_waves += 1
+                n_jobs += int(n)
+            cap = 2 * len(reads) + 64
             while True:
                 desc = np.zeros((cap, 11), np.int64)
                 n = lib.tpubwa_plan_spec_jobs(h, P(desc, i64p),
@@ -279,7 +297,8 @@ def plan_batch_native(opt: MemOpt, fmi, reads: Sequence, intv_rows,
             if n > 0:
                 rows = np.ascontiguousarray(extend_fn(desc[:n]),
                                             np.int32)
-                n_waves, n_jobs = 1, int(n)
+                n_waves += 1
+                n_jobs += int(n)
             else:
                 rows = np.zeros((1, 16), np.int32)
             lib.tpubwa_plan_feed_spec(h, P(rows, i32p))

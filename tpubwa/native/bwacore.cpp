@@ -1956,12 +1956,21 @@ i64 tpubwa_plan_next_wave(void* h, i64* desc_out, i64 cap) {
 // Speculative mode (regions.py:extension_plan invariant): a seed's
 // fused-extension result depends only on (seed, chain window) — the
 // wave-order dependency through av only gates which results are
-// CONSUMED.  Emit every device-eligible seed job upfront so the
-// device runs ONE wave per chunk (each extra wave costs a ~40-50 ms
-// dispatch+sync link floor), then replay the exact plan order against
-// the precomputed rows in tpubwa_plan_feed_spec.  Skipped seeds'
-// rows are discarded; oversize / no-DP seeds resolve at replay time
-// in plan order, exactly as the wave loop would.
+// CONSUMED.  After the exact first wave, emit every remaining
+// device-eligible seed that is not skippable against the CURRENT av
+// in one batch, then replay the exact plan order against the
+// precomputed rows in tpubwa_plan_feed_spec.
+//
+// Safety: skippability is monotone in av (regions are only appended,
+// so "contained in an existing region" only grows) and monotone in
+// seed deaths (the disagreeing-seed rescue only needs alive seeds,
+// which only die) — a seed NOT skippable at replay time was not
+// skippable here either, so the emitted set is a superset of what the
+// replay consumes.  Skipped seeds' rows are discarded; oversize /
+// no-DP seeds resolve at replay time in plan order, exactly as the
+// wave loop would.  Speculating from the START instead (empty av)
+// emitted ~3x the consumed jobs (measured) — the first wave's regions
+// are what make the skip filter selective.
 i64 tpubwa_plan_spec_jobs(void* h, i64* desc_out, i64 cap) {
     PlanCtx* ctx = (PlanCtx*)h;
     const PlanOpt& o = ctx->o;
@@ -1969,10 +1978,16 @@ i64 tpubwa_plan_spec_jobs(void* h, i64* desc_out, i64 cap) {
     for (size_t ri = 0; ri < ctx->reads.size(); ++ri) {
         ReadState& rs = ctx->reads[ri];
         i64 l_query = ctx->ql[ri];
-        for (ChainState& cs : rs.chains) {
+        for (size_t ci = rs.ci; ci < rs.chains.size(); ++ci) {
+            ChainState& cs = rs.chains[ci];
             cs.rowidx.assign(cs.ch.seeds.size(), -1);
-            for (size_t si = 0; si < cs.ch.seeds.size(); ++si) {
-                const Seed& s = cs.ch.seeds[si];
+            for (int k = cs.k; k >= 0; --k) {
+                int si = cs.srt[(size_t)k];
+                const Seed& s = cs.ch.seeds[(size_t)si];
+                // filter only — do NOT mutate alive/k/ci (the replay
+                // re-runs the tests with the true evolving state)
+                if (seed_skippable(o, cs, s, l_query, rs.av, k))
+                    continue;
                 i64 qe = s.qbeg + s.len;
                 i64 qlen_r = l_query - qe;
                 i64 tlen_l = s.qbeg ? (s.rbeg - cs.rmax0) : 0;
