@@ -181,16 +181,18 @@ class DeviceAligner:
         while pad < len(chunk):
             pad <<= 1
         arr, lens = self._pack(chunk, pad)
-        flat, frid = collect_intv_device(self.opt, self.didx, arr,
-                                         lens, fmi=self.fmi,
-                                         put_sharded=self.put_sharded,
-                                         put_repl=self.put_repl,
-                                         return_flat=True)
+        flat, frid, qd = collect_intv_device(
+            self.opt, self.didx, arr, lens, fmi=self.fmi,
+            put_sharded=self.put_sharded, put_repl=self.put_repl,
+            return_flat=True, return_qd=True)
         counts = np.bincount(frid, minlength=arr.shape[0])[:len(chunk)]
         intv = (flat, counts)
-        return intv, self._sa_positions(intv)
+        # qd: the device-resident packed chunk reads — _chunk_regs
+        # reuses it for descriptor-mode extension instead of packing
+        # and uploading the same ~1 MB again
+        return intv, self._sa_positions(intv), qd
 
-    def _chunk_regs(self, chunk, intv_rows, positions):
+    def _chunk_regs(self, chunk, intv_rows, positions, qd=None):
         """Host chaining + device extension waves + region post for one
         chunk; returns per-read region lists."""
         opt, fmi, mat = self.opt, self.fmi, self.mat
@@ -198,11 +200,12 @@ class DeviceAligner:
         # resident chunk reads + pac (jobs ship as ~11 ints)
         use_desc = self.mat_scmat
         if use_desc:
-            pad = 32
-            while pad < len(chunk):
-                pad <<= 1
-            arr, _ = self._pack(chunk, pad)
-            qd = self.put_repl(arr)
+            if qd is None:
+                pad = 32
+                while pad < len(chunk):
+                    pad <<= 1
+                arr, _ = self._pack(chunk, pad)
+                qd = self.put_repl(arr)
             self.extender.set_chunk_ctx(self.didx, qd, chunk, fmi.bnt)
             # native planner: chaining + per-seed planning + region
             # post all in C++ — Python only shuttles descriptor waves
@@ -287,8 +290,8 @@ class DeviceAligner:
         chunks = [reads[s:s + ch] for s in range(0, len(reads), ch)]
         out: List[List[AlnReg]] = []
         if len(chunks) == 1:
-            rows, positions = self._seed_chunk(chunks[0])
-            return self._chunk_regs(chunks[0], rows, positions)
+            rows, positions, qd = self._seed_chunk(chunks[0])
+            return self._chunk_regs(chunks[0], rows, positions, qd)
         # double-buffer: seed chunk i+1 on a worker thread while the
         # main thread chains/extends/posts chunk i (device transfers
         # release the GIL, so host work genuinely overlaps)
@@ -296,10 +299,11 @@ class DeviceAligner:
         with ThreadPoolExecutor(max_workers=1) as ex:
             fut = ex.submit(self._seed_chunk, chunks[0])
             for i, chunk in enumerate(chunks):
-                rows, positions = fut.result()
+                rows, positions, qd = fut.result()
                 if i + 1 < len(chunks):
                     fut = ex.submit(self._seed_chunk, chunks[i + 1])
-                out.extend(self._chunk_regs(chunk, rows, positions))
+                out.extend(self._chunk_regs(chunk, rows, positions,
+                                            qd))
         return out
 
     def __call__(self, reads: Sequence[Read]) -> List[List[AlnReg]]:

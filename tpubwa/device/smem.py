@@ -355,7 +355,8 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                         mode: str = None,
                         put_sharded=None,
                         put_repl=None,
-                        return_flat: bool = False) -> List[np.ndarray]:
+                        return_flat: bool = False,
+                        return_qd: bool = False) -> List[np.ndarray]:
     """Full 3-round mem_collect_intv for a batch, device-accelerated.
     Returns per-read [n, 5] int64 (x0, x1, size, qb, qe) sorted by
     (qb, qe) — the contract of ref.smem.collect_intv.
@@ -451,8 +452,9 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
             rids.append(np.repeat(np.arange(B), MAXH)[hv.reshape(-1)]
                         .astype(np.int64))
     if not blocks:
+        empty = np.zeros((0, 5), np.int64), np.zeros(0, np.int64)
         if return_flat:
-            return np.zeros((0, 5), np.int64), np.zeros(0, np.int64)
+            return (*empty, qd) if return_qd else empty
         return [np.zeros((0, 5), np.int64) for _ in range(B)]
     flat = np.concatenate(blocks)
     frid = np.concatenate(rids)
@@ -462,7 +464,8 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     if return_flat:
         # pipeline fast path: the native chain/plan ABI and the SA
         # stage consume flat rows + read ids directly — no per-read
-        # view lists on the single host core
-        return flat, frid
+        # view lists on the single host core (return_qd: hand back the
+        # device-resident read array so extension reuses the upload)
+        return (flat, frid, qd) if return_qd else (flat, frid)
     counts = np.bincount(frid, minlength=B)
     return np.split(flat, np.cumsum(counts)[:-1])
