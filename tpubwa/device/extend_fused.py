@@ -152,18 +152,36 @@ def _extend_seed_desc_impl(didx, qreads, desc, a, b, o_del, e_del,
                    _ref_codes(didx, rbeg[:, None] - 1 - jT), 4)
     tR = jnp.where(jT < tlenR[:, None],
                    _ref_codes(didx, (rbeg + slen)[:, None] + jT), 4)
-    # internal kernel-chunking: one device dispatch (~30 ms of link
-    # overhead) covers several VMEM-sized Pallas launches
+    # internal kernel-chunking: one device dispatch (~40-50 ms of link
+    # floor) covers all VMEM-sized Pallas launches of the wave.  The
+    # chunk loop is a lax.scan so the kernel body compiles ONCE per
+    # (chunk, W, tmax) signature regardless of N — an unrolled Python
+    # loop made 8k-job programs take minutes of XLA compile.  Each
+    # kernel bounds its row loop by the TILE's max tlen, so all-pad
+    # chunks from pow2 rounding cost ~nothing.
     N = desc.shape[0]
-    outs = []
     ch = chunk_for(W)
-    for off in range(0, N, ch):
-        sl = slice(off, off + ch)
-        outs.append(_fused_passes(
-            qL[sl], tL[sl], qR[sl], tR[sl], qlenL[sl], tlenL[sl],
-            qlenR[sl], tlenR[sl], h0[sl], w0[sl], pen5[sl], pen3[sl],
-            a, b, o_del, e_del, o_ins, e_ins, zdrop, tmax, interpret))
-    return jnp.concatenate(outs)
+
+    def one(_, inp):
+        (qLc, tLc, qRc, tRc, qlLc, tlLc, qlRc, tlRc, h0c, w0c, p5c,
+         p3c) = inp
+        return 0, _fused_passes(
+            qLc, tLc, qRc, tRc, qlLc, tlLc, qlRc, tlRc, h0c, w0c,
+            p5c, p3c, a, b, o_del, e_del, o_ins, e_ins, zdrop, tmax,
+            interpret)
+
+    if N <= ch:
+        return one(0, (qL, tL, qR, tR, qlenL, tlenL, qlenR, tlenR,
+                       h0, w0, pen5, pen3))[1]
+    K = N // ch
+
+    def r(x):
+        return x.reshape((K, ch) + x.shape[1:])
+
+    _, outs = jax.lax.scan(
+        one, 0, (r(qL), r(tL), r(qR), r(tR), r(qlenL), r(tlenL),
+                 r(qlenR), r(tlenR), r(h0), r(w0), r(pen5), r(pen3)))
+    return outs.reshape(-1)
 
 
 @functools.partial(
@@ -235,9 +253,15 @@ def extend_seed_desc_np(didx, qd, jobs, mat, o_del, e_del, o_ins,
                           (da[:n, 3] - da[:n, 1] - da[:n, 2])
                           .max(initial=0))))
     CH = chunk_for(W)
-    N = JOBS if n <= JOBS else ((n + CH - 1) // CH) * CH
-    if N > CH:  # round to the multi-chunk dispatch size
-        N = ((N + 4 * CH - 1) // (4 * CH)) * (4 * CH)
+    # pow2 chunk counts bound the compiled-shape set; the kernel's
+    # per-tile tlen bound makes all-pad chunks ~free
+    if n <= JOBS:
+        N = JOBS
+    else:
+        K = 1
+        while K * CH < n:
+            K <<= 1
+        N = K * CH
     tm = 128
     while tm < max(int(tlL.max(initial=0)), int(tlR.max(initial=0))):
         tm <<= 1
@@ -247,12 +271,10 @@ def extend_seed_desc_np(didx, qd, jobs, mat, o_del, e_del, o_ins,
     desc[:, 7] = 1   # w > 0
     for slot, i in enumerate(order):
         desc[slot] = da[i]
-    # one dispatch per wave by default: each extra dispatch+sync costs
-    # ~40-50 ms of link floor (scripts/exp_machine_cost.py); the
-    # program internally unrolls N/CH Pallas launches
-    import os as _os
-    step_ch = int(_os.environ.get("TPUBWA_EXT_STEP", 16))
-    step = N if N <= JOBS else min(step_ch * CH, N)
+    # one dispatch per wave: each extra dispatch+sync costs ~40-50 ms
+    # of link floor (scripts/exp_machine_cost.py); the program scans
+    # over its N/CH kernel chunks internally
+    step = N
     futs = []
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
