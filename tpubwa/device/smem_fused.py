@@ -282,12 +282,15 @@ def smem_call_machine(didx: DeviceIndex, q: jnp.ndarray,
          outA["rounds"].astype(dt)[None], outB["rounds"].astype(dt)[None]])
 
 
-def run_call_machine(didx, qd, ld, read, x0, min_intv, one_shot,
-                     P, MAXC, MAXR, CAPF, min_seed_len,
-                     put=jnp.asarray):
-    """Pad lanes to pow2, dispatch, decode.  Returns (rows [total, 5]
-    np — valid emissions lane-major; eff [n] per-lane counts (0 for
-    overflow/spilled lanes); ovf [n] lanes for the retry path)."""
+MACH = 8192  # max lanes per machine dispatch (32k-lane machines are
+             # super-linear on the v5e — docs/PERF_NOTES.md)
+
+
+def dispatch_call_machine(didx, qd, ld, read, x0, min_intv, one_shot,
+                          P, MAXC, MAXR, CAPF, min_seed_len,
+                          put=jnp.asarray):
+    """Pad lanes to pow2 and dispatch (async).  Returns the in-flight
+    device buffer + mpad for decode_call_machine."""
     n = len(read)
     mpad = _pad_pow2(n)
     npdt = didx.np_idt
@@ -299,9 +302,18 @@ def run_call_machine(didx, qd, ld, read, x0, min_intv, one_shot,
     jobs[:n, 1] = x0
     jobs[:n, 2] = min_intv
     jobs[:n, 3] = one_shot
-    buf = np.asarray(smem_call_machine(
-        didx, qd, ld, put(jobs), P, MAXC, MAXR, CAPF,
-        int(min_seed_len)))
+    buf = smem_call_machine(didx, qd, ld, put(jobs), P, MAXC, MAXR,
+                            CAPF, int(min_seed_len))
+    return buf, mpad, n
+
+
+def decode_call_machine(handle, CAPF):
+    """Sync + decode a dispatch_call_machine buffer.  Returns (rows
+    [total, 5] np — valid emissions lane-major; eff [n] per-lane
+    counts (0 for overflow/spilled lanes); ovf [n] lanes for the
+    retry path)."""
+    dbuf, mpad, n = handle
+    buf = np.asarray(dbuf)
     cap = CAPF * mpad
     rows = buf[:cap * 5].reshape(cap, 5)
     aux = buf[cap * 5:][:mpad].astype(np.int64)
@@ -319,6 +331,35 @@ def run_call_machine(didx, qd, ld, read, x0, min_intv, one_shot,
                        int(np.count_nonzero(ovf[:n])),
                        int(np.count_nonzero(spill[:n]))))
     return rows[sel], eff[:n], ovf[:n]
+
+
+def run_call_machine(didx, qd, ld, read, x0, min_intv, one_shot,
+                     P, MAXC, MAXR, CAPF, min_seed_len,
+                     put=jnp.asarray):
+    """Run a batch of smem1a lanes: lanes group into <= MACH-lane
+    machines, ALL dispatched async before the first sync (each
+    serialized dispatch+sync pays a ~40-50 ms link floor).  Returns
+    (rows [total, 5], eff [n], ovf [n]) in lane order."""
+    n = len(read)
+    if n <= MACH:
+        h = dispatch_call_machine(didx, qd, ld, read, x0, min_intv,
+                                  one_shot, P, MAXC, MAXR, CAPF,
+                                  min_seed_len, put=put)
+        return decode_call_machine(h, CAPF)
+    handles = []
+    for s in range(0, n, MACH):
+        sl = slice(s, s + MACH)
+        handles.append(dispatch_call_machine(
+            didx, qd, ld, read[sl], x0[sl], min_intv[sl], one_shot[sl],
+            P, MAXC, MAXR, CAPF, min_seed_len, put=put))
+    rows_l, eff_l, ovf_l = [], [], []
+    for h in handles:
+        rows, eff, ovf = decode_call_machine(h, CAPF)
+        rows_l.append(rows)
+        eff_l.append(eff)
+        ovf_l.append(ovf)
+    return (np.concatenate(rows_l), np.concatenate(eff_l),
+            np.concatenate(ovf_l))
 
 
 def rounds12_fused(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
