@@ -282,8 +282,12 @@ def smem_call_machine(didx: DeviceIndex, q: jnp.ndarray,
          outA["rounds"].astype(dt)[None], outB["rounds"].astype(dt)[None]])
 
 
-MACH = 8192  # max lanes per machine dispatch (32k-lane machines are
-             # super-linear on the v5e — docs/PERF_NOTES.md)
+MACH = 16384  # max lanes per machine dispatch.  8192-lane grouping of
+              # a 10k-job round-2 batch measured ~2.5x SLOWER than one
+              # 16384-lane machine (re-confirming round 2's "groups
+              # serialize on their syncs" lesson); 32k-lane machines
+              # are super-linear (docs/PERF_NOTES.md) — 16384 is the
+              # crossover on this tunnel/chip.
 
 
 def dispatch_call_machine(didx, qd, ld, read, x0, min_intv, one_shot,
