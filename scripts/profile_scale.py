@@ -162,6 +162,16 @@ def main():
               f"{lanes} lanes ({live} live), {rnds} total rounds "
               f"(mean {rnds / len(ms):.0f}), "
               f"{cause[0]}={a} {cause[1]}={b}", file=sys.stderr)
+        if kind == "call" and len(ms[0]) > 8:
+            rf = sum(m[6] for m in ms)
+            rb = sum(m[7] for m in ms)
+            sw = sum(m[8] for m in ms)
+            for m in ms:
+                print(f"[prof]     lanes={m[1]} live={m[2]} "
+                      f"rf={m[6]} rb={m[7]} sync={m[8]*1e3:.0f}ms",
+                      file=sys.stderr)
+            print(f"[prof]   call totals: rf={rf} rb={rb} "
+                  f"sync={sw:.2f}s", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -72,9 +72,9 @@ def test_pipeline_overlap_is_race_free(setup):
             time.sleep(jitter.random() * 0.05)
             return orig_seed(chunk)
 
-        def slow_regs(chunk, intv, positions):
+        def slow_regs(*args):
             time.sleep(jitter.random() * 0.05)
-            return orig_regs(chunk, intv, positions)
+            return orig_regs(*args)
 
         aligner._seed_chunk = slow_seed
         aligner._chunk_regs = slow_regs

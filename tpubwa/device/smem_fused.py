@@ -316,8 +316,11 @@ def decode_call_machine(handle, CAPF):
     [total, 5] np — valid emissions lane-major; eff [n] per-lane
     counts (0 for overflow/spilled lanes); ovf [n] lanes for the
     retry path)."""
+    import time as _time
     dbuf, mpad, n = handle
+    t0 = _time.perf_counter()
     buf = np.asarray(dbuf)
+    sync_s = _time.perf_counter() - t0
     cap = CAPF * mpad
     rows = buf[:cap * 5].reshape(cap, 5)
     aux = buf[cap * 5:][:mpad].astype(np.int64)
@@ -331,9 +334,12 @@ def decode_call_machine(handle, CAPF):
     base = ends - eff
     from .smem_split import _row_offsets
     sel = np.repeat(base[:n], eff[:n]) + _row_offsets(eff[:n])
+    # extended row: (kind, lanes, live, rounds, ovf, spill,
+    # rounds_f, rounds_b, sync_s) — profile_scale.py reads the tail
     SEED_STATS.append(("call", mpad, n, int(buf[-2]) + int(buf[-1]),
                        int(np.count_nonzero(ovf[:n])),
-                       int(np.count_nonzero(spill[:n]))))
+                       int(np.count_nonzero(spill[:n])),
+                       int(buf[-2]), int(buf[-1]), sync_s))
     return rows[sel], eff[:n], ovf[:n]
 
 
