@@ -292,7 +292,7 @@ MACH = 16384  # max lanes per machine dispatch.  8192-lane grouping of
 
 def dispatch_call_machine(didx, qd, ld, read, x0, min_intv, one_shot,
                           P, MAXC, MAXR, CAPF, min_seed_len,
-                          put=jnp.asarray):
+                          put=jnp.asarray, max_rounds_b=1024):
     """Pad lanes to pow2 and dispatch (async).  Returns the in-flight
     device buffer + mpad for decode_call_machine."""
     n = len(read)
@@ -307,7 +307,8 @@ def dispatch_call_machine(didx, qd, ld, read, x0, min_intv, one_shot,
     jobs[:n, 2] = min_intv
     jobs[:n, 3] = one_shot
     buf = smem_call_machine(didx, qd, ld, put(jobs), P, MAXC, MAXR,
-                            CAPF, int(min_seed_len))
+                            CAPF, int(min_seed_len),
+                            max_rounds_b=int(max_rounds_b))
     return buf, mpad, n
 
 
@@ -343,25 +344,28 @@ def decode_call_machine(handle, CAPF):
     return rows[sel], eff[:n], ovf[:n]
 
 
-def run_call_machine(didx, qd, ld, read, x0, min_intv, one_shot,
-                     P, MAXC, MAXR, CAPF, min_seed_len,
-                     put=jnp.asarray):
-    """Run a batch of smem1a lanes: lanes group into <= MACH-lane
-    machines, ALL dispatched async before the first sync (each
-    serialized dispatch+sync pays a ~40-50 ms link floor).  Returns
-    (rows [total, 5], eff [n], ovf [n]) in lane order."""
+def dispatch_batch(didx, qd, ld, read, x0, min_intv, one_shot,
+                   P, MAXC, MAXR, CAPF, min_seed_len,
+                   put=jnp.asarray, max_rounds_b=1024):
+    """Dispatch a batch of smem1a lanes async: lanes group into
+    <= MACH-lane machines, ALL dispatched before any sync (each
+    serialized dispatch+sync pays a ~40-50 ms link floor).  Returns a
+    list of in-flight handles for decode_batch."""
     n = len(read)
-    if n <= MACH:
-        h = dispatch_call_machine(didx, qd, ld, read, x0, min_intv,
-                                  one_shot, P, MAXC, MAXR, CAPF,
-                                  min_seed_len, put=put)
-        return decode_call_machine(h, CAPF)
     handles = []
     for s in range(0, n, MACH):
         sl = slice(s, s + MACH)
         handles.append(dispatch_call_machine(
             didx, qd, ld, read[sl], x0[sl], min_intv[sl], one_shot[sl],
-            P, MAXC, MAXR, CAPF, min_seed_len, put=put))
+            P, MAXC, MAXR, CAPF, min_seed_len, put=put,
+            max_rounds_b=max_rounds_b))
+    return handles
+
+
+def decode_batch(handles, CAPF):
+    """Sync + decode dispatch_batch handles in order."""
+    if len(handles) == 1:
+        return decode_call_machine(handles[0], CAPF)
     rows_l, eff_l, ovf_l = [], [], []
     for h in handles:
         rows, eff, ovf = decode_call_machine(h, CAPF)
@@ -370,6 +374,16 @@ def run_call_machine(didx, qd, ld, read, x0, min_intv, one_shot,
         ovf_l.append(ovf)
     return (np.concatenate(rows_l), np.concatenate(eff_l),
             np.concatenate(ovf_l))
+
+
+def run_call_machine(didx, qd, ld, read, x0, min_intv, one_shot,
+                     P, MAXC, MAXR, CAPF, min_seed_len,
+                     put=jnp.asarray, max_rounds_b=1024):
+    """dispatch_batch + decode_batch (the synchronous composition).
+    Returns (rows [total, 5], eff [n], ovf [n]) in lane order."""
+    return decode_batch(dispatch_batch(
+        didx, qd, ld, read, x0, min_intv, one_shot, P, MAXC, MAXR,
+        CAPF, min_seed_len, put=put, max_rounds_b=max_rounds_b), CAPF)
 
 
 def rounds12_fused(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
@@ -384,6 +398,13 @@ def rounds12_fused(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
     P = _stack_P(didx)
     MAXC = 8 if np.asarray(reads).shape[1] <= 192 else 16
     P2, MAXC2, MAXR2 = 32, 32, 48
+    # straggler cap on the backward phase: ONE lane with a long summed
+    # backward span makes all 16384 lanes idle through its tail rounds
+    # (each phase-B round costs 2*P*N occ gathers).  Over-cap lanes are
+    # flagged hung -> eovf and redo on the deep second-chance machine,
+    # so bit-identity is preserved.  1024 = effectively uncapped.
+    import os as _os
+    RB_CAP = int(_os.environ.get("TPUBWA_RB_CAP", 1024))
 
     def run_scalar(jobs, rows_out, rids_out):
         from .smem import _scalar_reseed, _scalar_round1
@@ -416,7 +437,8 @@ def rounds12_fused(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
     rows1, eff1, ovf1 = run_call_machine(
         didx, qd, ld, np.arange(B, dtype=np.int32),
         np.zeros(B, np.int32), np.ones(B, npdt), np.zeros(B, bool),
-        P, MAXC, 24, 5, opt.min_seed_len, put=put)
+        P, MAXC, 24, 5, opt.min_seed_len, put=put,
+        max_rounds_b=RB_CAP)
     rows_out = [rows1.astype(np.int64)]
     rids_out = [np.repeat(np.arange(B, dtype=np.int64), eff1)]
     second_chance([(int(ri), 0, 1, False)
@@ -436,7 +458,7 @@ def rounds12_fused(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
     rows2, eff2, ovf2 = run_call_machine(
         didx, qd, ld, job_rid, job_x, job_mi,
         np.ones(len(job_rid), bool), P, 1, 12, 3,
-        opt.min_seed_len, put=put)
+        opt.min_seed_len, put=put, max_rounds_b=RB_CAP)
     rows_out = [r1_rows, rows2.astype(np.int64)]
     rids_out = [r1_rids, np.repeat(job_rid.astype(np.int64), eff2)]
     second_chance([(int(job_rid[k]), int(job_x[k]), int(job_mi[k]),
