@@ -418,13 +418,17 @@ def rounds12_fused(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
             rows_out.append(rows)
             rids_out.append(np.full(len(rows), ri, np.int64))
 
-    def second_chance(jobs, rows_out, rids_out):
-        if not jobs:
-            return
+    def job_arrays(jobs):
         jr = np.array([j[0] for j in jobs], np.int32)
         jx0 = np.array([j[1] for j in jobs], np.int32)
         jmi = np.array([j[2] for j in jobs], npdt)
         josh = np.array([j[3] for j in jobs], bool)
+        return jr, jx0, jmi, josh
+
+    def second_chance(jobs, rows_out, rids_out):
+        if not jobs:
+            return
+        jr, jx0, jmi, josh = job_arrays(jobs)
         rows, eff, ovf = run_call_machine(
             didx, qd, ld, jr, jx0, jmi, josh, P2, MAXC2, MAXR2, 8,
             opt.min_seed_len, put=put)
@@ -433,35 +437,68 @@ def rounds12_fused(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         run_scalar([jobs[k] for k in np.flatnonzero(ovf)],
                    rows_out, rids_out)
 
+    def r2_jobs_from(rows, rids):
+        """Round-2 reseed jobs (bwamem.c:mem_collect_intv second pass):
+        long low-occ SMEMs re-seed from their midpoint, one-shot, with
+        min_intv = occ + 1."""
+        jsel = ((rows[:, 4] - rows[:, 3] >= split_len)
+                & (rows[:, 2] <= opt.split_width))
+        rid = rids[jsel].astype(np.int32)
+        jx = ((rows[jsel, 3] + rows[jsel, 4]) >> 1).astype(np.int32)
+        jmi = (rows[jsel, 2] + 1).astype(npdt)
+        return rid, jx, jmi
+
     # ---- round 1
     rows1, eff1, ovf1 = run_call_machine(
         didx, qd, ld, np.arange(B, dtype=np.int32),
         np.zeros(B, np.int32), np.ones(B, npdt), np.zeros(B, bool),
         P, MAXC, 24, 5, opt.min_seed_len, put=put,
         max_rounds_b=RB_CAP)
-    rows_out = [rows1.astype(np.int64)]
-    rids_out = [np.repeat(np.arange(B, dtype=np.int64), eff1)]
-    second_chance([(int(ri), 0, 1, False)
-                   for ri in np.flatnonzero(ovf1)], rows_out, rids_out)
-    r1_rows = np.concatenate(rows_out)
-    r1_rids = np.concatenate(rids_out)
+    rows1 = rows1.astype(np.int64)
+    rids1 = np.repeat(np.arange(B, dtype=np.int64), eff1)
+    sc_jobs = [(int(ri), 0, 1, False) for ri in np.flatnonzero(ovf1)]
 
-    # ---- round 2: re-seed long low-occ SMEMs (one-shot calls)
-    jsel = ((r1_rows[:, 4] - r1_rows[:, 3] >= split_len)
-            & (r1_rows[:, 2] <= opt.split_width))
-    job_rid = r1_rids[jsel].astype(np.int32)
-    if not len(job_rid):
-        return r1_rows, r1_rids
-    job_x = ((r1_rows[jsel, 3] + r1_rows[jsel, 4]) >> 1) \
-        .astype(np.int32)
-    job_mi = (r1_rows[jsel, 2] + 1).astype(npdt)
-    rows2, eff2, ovf2 = run_call_machine(
-        didx, qd, ld, job_rid, job_x, job_mi,
-        np.ones(len(job_rid), bool), P, 1, 12, 3,
-        opt.min_seed_len, put=put, max_rounds_b=RB_CAP)
-    rows_out = [r1_rows, rows2.astype(np.int64)]
-    rids_out = [r1_rids, np.repeat(job_rid.astype(np.int64), eff2)]
-    second_chance([(int(job_rid[k]), int(job_x[k]), int(job_mi[k]),
-                    True) for k in np.flatnonzero(ovf2)],
-                  rows_out, rids_out)
+    # overlap: the deep retry machine for r1-overflow lanes and the r2
+    # machine for the good lanes are independent — dispatch BOTH before
+    # either sync (each serialized dispatch+sync pays the ~40-50 ms
+    # link floor, and the device would idle during the host decode)
+    sc_handles = None
+    if sc_jobs:
+        jr, jx0, jmi, josh = job_arrays(sc_jobs)
+        sc_handles = dispatch_batch(
+            didx, qd, ld, jr, jx0, jmi, josh, P2, MAXC2, MAXR2, 8,
+            opt.min_seed_len, put=put)
+    rid2, jx2, jmi2 = r2_jobs_from(rows1, rids1)
+    r2_handles = None
+    if len(rid2):
+        r2_handles = dispatch_batch(
+            didx, qd, ld, rid2, jx2, jmi2,
+            np.ones(len(rid2), bool), P, 1, 12, 3,
+            opt.min_seed_len, put=put, max_rounds_b=RB_CAP)
+
+    rows_out = [rows1]
+    rids_out = [rids1]
+    tail_jobs = []   # one-shot jobs for the trailing deep machine
+    if sc_handles is not None:
+        jr = job_arrays(sc_jobs)[0]
+        sc_rows, sc_eff, sc_ovf = decode_batch(sc_handles, 8)
+        sc_blocks = [sc_rows.astype(np.int64)]
+        sc_rid_blocks = [np.repeat(jr.astype(np.int64), sc_eff)]
+        run_scalar([sc_jobs[k] for k in np.flatnonzero(sc_ovf)],
+                   sc_blocks, sc_rid_blocks)
+        sc_all = np.concatenate(sc_blocks)
+        sc_rids_all = np.concatenate(sc_rid_blocks)
+        rows_out.append(sc_all)
+        rids_out.append(sc_rids_all)
+        # retried reads' round-2 jobs ride the trailing machine
+        rrid, rjx, rjmi = r2_jobs_from(sc_all, sc_rids_all)
+        tail_jobs += [(int(rrid[k]), int(rjx[k]), int(rjmi[k]), True)
+                      for k in range(len(rrid))]
+    if r2_handles is not None:
+        rows2, eff2, ovf2 = decode_batch(r2_handles, 3)
+        rows_out.append(rows2.astype(np.int64))
+        rids_out.append(np.repeat(rid2.astype(np.int64), eff2))
+        tail_jobs += [(int(rid2[k]), int(jx2[k]), int(jmi2[k]), True)
+                      for k in np.flatnonzero(ovf2)]
+    second_chance(tail_jobs, rows_out, rids_out)
     return np.concatenate(rows_out), np.concatenate(rids_out)
