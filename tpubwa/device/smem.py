@@ -368,14 +368,15 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     overflow fallback is unavailable, so the call degrades to the
     all-starts reach path instead of crashing on repetitive input.
 
-    mode: 'fused' (default; one dispatch per seeding round —
-    smem_fused.py), 'split' (phase-split fwd/bwd machines —
-    smem_split.py), 'cursor' (combined machine), 'reach' (all-starts
-    formulation).  TPUBWA_SEED_MODE overrides."""
+    mode: 'mega' (default; rounds 1+2 in ONE dispatch with on-device
+    round-2 job construction — smem_fused.py:smem_chunk_machine),
+    'fused' (one dispatch per seeding round), 'split' (phase-split
+    fwd/bwd machines — smem_split.py), 'cursor' (combined machine),
+    'reach' (all-starts formulation).  TPUBWA_SEED_MODE overrides."""
     import os
     if mode is None:
         mode = os.environ.get("TPUBWA_SEED_MODE",
-                              "fused" if use_cursor else "reach")
+                              "mega" if use_cursor else "reach")
     if mode != "reach" and fmi is None:
         mode = "reach"
     use_cursor = mode != "reach"
@@ -403,7 +404,12 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     blocks = []
     rids = []
     if use_cursor:
-        if mode == "fused":
+        if mode == "mega":
+            from .smem_fused import rounds12_mega
+            rows12, rids12 = rounds12_mega(opt, didx, qd, ld, lens_np,
+                                           reads, split_len, fmi,
+                                           put=put_sharded)
+        elif mode == "fused":
             from .smem_fused import rounds12_fused
             rows12, rids12 = rounds12_fused(opt, didx, qd, ld, lens_np,
                                             reads, split_len, fmi,

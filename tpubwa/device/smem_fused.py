@@ -46,26 +46,11 @@ I32 = jnp.int32
 RESTART, FWD, DONE = 0, 1, 3
 
 
-@partial(jax.jit, static_argnames=("P", "MAXC", "MAXR", "CAPF",
-                                   "min_seed_len", "max_rounds_f",
-                                   "max_rounds_b"))
-def smem_call_machine(didx: DeviceIndex, q: jnp.ndarray,
-                      lens: jnp.ndarray, jobs: jnp.ndarray,
-                      P: int, MAXC: int, MAXR: int, CAPF: int,
-                      min_seed_len: int, max_rounds_f: int = 2048,
-                      max_rounds_b: int = 1024):
-    """Full smem1a (fwd + bwd) for N independent lanes, one dispatch.
-
-    jobs idt [N, 8] — columns 0..3 = (read, x0, min_intv, one_shot).
-    Returns flat idt: packed rows [CAPF * N, 5] (x0, x1, size, qb, qe;
-    lane-major, call-ascending, emission order within call), aux [N] =
-    mem_n | stack-ovf << 27 | call-ovf << 28 | emit-ovf << 29 |
-    any-ovf << 30, rounds_f, rounds_b."""
+def _fwd_phase(didx: DeviceIndex, q, lens, read, x0j, min_intv,
+               one_shot, P: int, MAXC: int, max_rounds_f: int):
+    """Forward passes of bwt_smem1a for N lanes (phase A).  Returns
+    the final forward state dict (snap/meta/call/ovf flags/rounds)."""
     dt = didx.idt
-    read = jobs[:, 0].astype(I32)
-    x0j = jobs[:, 1].astype(I32)
-    min_intv = jobs[:, 2].astype(dt)
-    one_shot = jobs[:, 3] != 0
     N = read.shape[0]
     L = q.shape[1]
     jidx = jnp.arange(P, dtype=I32)[None, :]
@@ -76,7 +61,6 @@ def smem_call_machine(didx: DeviceIndex, q: jnp.ndarray,
         p = jnp.clip(pos, 0, L - 1)
         return q[read, p].astype(I32)
 
-    # ---------------- phase A: forward ----------------
     stA = dict(
         phase=jnp.zeros(N, I32),
         x=x0j,
@@ -156,14 +140,27 @@ def smem_call_machine(didx: DeviceIndex, q: jnp.ndarray,
 
     outA = jax.lax.while_loop(condA, bodyA, stA)
     hungA = (outA["phase"] != DONE) & ~outA["ovf_s"] & ~outA["ovf_c"]
-    ovf_s = outA["ovf_s"]
-    ovf_c = outA["ovf_c"] | hungA
-    nc = jnp.where(ovf_s | ovf_c, 0, outA["call"])  # ovf: skip bwd
+    outA["ovf_c"] = outA["ovf_c"] | hungA
+    return outA
+
+
+def _bwd_phase(didx: DeviceIndex, q, lens, read, nc, meta_x, meta_m,
+               snapA, min_intv, P: int, MAXC: int, MAXR: int,
+               min_seed_len: int, max_rounds_b: int):
+    """Backward passes (phase B), calls sequential per lane.  Returns
+    the final backward state dict (mem/mem_n/eovf/rounds)."""
+    dt = didx.idt
+    N = read.shape[0]
+    L = q.shape[1]
+    jidx = jnp.arange(P, dtype=I32)[None, :]
+    cidx = jnp.arange(MAXC, dtype=I32)[None, :]
+
+    def q_at(pos):
+        p = jnp.clip(pos, 0, L - 1)
+        return q[read, p].astype(I32)
 
     # flip snapshots push-order -> ascending-size once, up front (the
     # per-round load is then a flat row gather)
-    snapA = outA["snap"]                       # [N, MAXC, P, 4]
-    meta_m = outA["meta"][:, :, 1]             # [N, MAXC]
     flip_idx = jnp.clip(meta_m[:, :, None] - 1 - jidx[None], 0, P - 1)
     oh = flip_idx[..., None] == jidx[None, :, None, :]  # [N,MAXC,P,P]
     flip = jnp.sum(jnp.where(oh[..., None], snapA[:, :, None, :, :],
@@ -171,10 +168,8 @@ def smem_call_machine(didx: DeviceIndex, q: jnp.ndarray,
     flip = jnp.where((jidx[None] < meta_m[:, :, None])[..., None],
                      flip, 0)
     flip_flat = flip.reshape(N * MAXC, P, 4)
-    meta_x = outA["meta"][:, :, 0]
     lane = jnp.arange(N, dtype=I32)
 
-    # ---------------- phase B: backward, calls sequential ----------
     stB = dict(
         c=jnp.zeros(N, I32),
         need=jnp.ones(N, bool),
@@ -261,14 +256,19 @@ def smem_call_machine(didx: DeviceIndex, q: jnp.ndarray,
 
     outB = jax.lax.while_loop(condB, bodyB, stB)
     hungB = (outB["c"] < nc) & ~outB["eovf"]
-    eovf = outB["eovf"] | hungB
-    overflow = ovf_s | ovf_c | eovf
-    aux = (outB["mem_n"] | (ovf_s.astype(I32) << 27)
-           | (ovf_c.astype(I32) << 28) | (eovf.astype(I32) << 29)
-           | (overflow.astype(I32) << 30))
+    outB["eovf"] = outB["eovf"] | hungB
+    return outB
 
+
+def _pack_rows(mem, mem_n, overflow, CAPF, dt):
+    """Device-side compaction: the mem buffer is ~90% zeros; ship only
+    the packed prefix.  Returns (packed [CAPF*N, 5], eff [N] — the
+    per-lane counts EXCLUDING overflow lanes but INCLUDING pack-spill
+    lanes, whose partial rows the host decode discards)."""
+    N = mem_n.shape[0]
+    MAXR = mem.shape[1]
     cap = CAPF * N
-    eff = jnp.where(overflow, 0, outB["mem_n"])
+    eff = jnp.where(overflow, 0, mem_n)
     ends = jnp.cumsum(eff)
     base = ends - eff
     jm = jnp.arange(MAXR, dtype=I32)[None, :]
@@ -276,10 +276,150 @@ def smem_call_machine(didx: DeviceIndex, q: jnp.ndarray,
     valid = (jm < eff[:, None]) & (tgt < cap)
     tgt = jnp.where(valid, tgt, cap)
     packed = jnp.zeros((cap + 1, 5), dt).at[tgt.reshape(-1)].set(
-        outB["mem"].reshape(-1, 5), mode="drop")
+        mem.reshape(-1, 5), mode="drop")
+    return packed[:cap], eff, ends
+
+
+@partial(jax.jit, static_argnames=("P", "MAXC", "MAXR", "CAPF",
+                                   "min_seed_len", "max_rounds_f",
+                                   "max_rounds_b"))
+def smem_call_machine(didx: DeviceIndex, q: jnp.ndarray,
+                      lens: jnp.ndarray, jobs: jnp.ndarray,
+                      P: int, MAXC: int, MAXR: int, CAPF: int,
+                      min_seed_len: int, max_rounds_f: int = 2048,
+                      max_rounds_b: int = 1024):
+    """Full smem1a (fwd + bwd) for N independent lanes, one dispatch.
+
+    jobs idt [N, 8] — columns 0..3 = (read, x0, min_intv, one_shot).
+    Returns flat idt: packed rows [CAPF * N, 5] (x0, x1, size, qb, qe;
+    lane-major, call-ascending, emission order within call), aux [N] =
+    mem_n | stack-ovf << 27 | call-ovf << 28 | emit-ovf << 29 |
+    any-ovf << 30, rounds_f, rounds_b."""
+    dt = didx.idt
+    read = jobs[:, 0].astype(I32)
+    x0j = jobs[:, 1].astype(I32)
+    min_intv = jobs[:, 2].astype(dt)
+    one_shot = jobs[:, 3] != 0
+    outA = _fwd_phase(didx, q, lens, read, x0j, min_intv, one_shot,
+                      P, MAXC, max_rounds_f)
+    ovf_s, ovf_c = outA["ovf_s"], outA["ovf_c"]
+    nc = jnp.where(ovf_s | ovf_c, 0, outA["call"])  # ovf: skip bwd
+    outB = _bwd_phase(didx, q, lens, read, nc, outA["meta"][:, :, 0],
+                      outA["meta"][:, :, 1], outA["snap"], min_intv,
+                      P, MAXC, MAXR, min_seed_len, max_rounds_b)
+    eovf = outB["eovf"]
+    overflow = ovf_s | ovf_c | eovf
+    aux = (outB["mem_n"] | (ovf_s.astype(I32) << 27)
+           | (ovf_c.astype(I32) << 28) | (eovf.astype(I32) << 29)
+           | (overflow.astype(I32) << 30))
+    packed, _, _ = _pack_rows(outB["mem"], outB["mem_n"], overflow,
+                              CAPF, dt)
     return jnp.concatenate(
-        [packed[:cap].reshape(-1), aux.astype(dt),
+        [packed.reshape(-1), aux.astype(dt),
          outA["rounds"].astype(dt)[None], outB["rounds"].astype(dt)[None]])
+
+
+@partial(jax.jit, static_argnames=("P", "MAXC", "MAXR", "CAPF", "J2",
+                                   "MAXR2", "CAPF2", "min_seed_len",
+                                   "split_len", "split_width",
+                                   "max_rounds_f", "max_rounds_b"))
+def smem_chunk_machine(didx: DeviceIndex, q: jnp.ndarray,
+                       lens: jnp.ndarray, jobs: jnp.ndarray,
+                       P: int, MAXC: int, MAXR: int, CAPF: int,
+                       J2: int, MAXR2: int, CAPF2: int,
+                       min_seed_len: int, split_len: int,
+                       split_width: int, max_rounds_f: int = 2048,
+                       max_rounds_b: int = 1024):
+    """Seeding rounds 1 AND 2 in ONE dispatch (bwamem.c:
+    mem_collect_intv first+second pass).  Round-2 reseed jobs are
+    constructed ON DEVICE from round-1 emissions — the host round trip
+    between the two machines (H2D jobs + D2H rows + ~40-50 ms sync
+    floor, mostly device-idle on this link) disappears.
+
+    jobs idt [N, 8] — columns 0..3 = (read, x0, min_intv, one_shot);
+    round-1 lanes are whole-read protocols (one_shot = 0).
+
+    Round-2 job k (k < j2n) = the k-th round-1 emission row, in
+    (lane, slot) order, with qe - qb >= split_len and size <=
+    split_width — over NON-overflow, NON-pack-spill lanes only, so the
+    host can recompute the identical job list from the decoded rows
+    (needed for the overflow retry path).  Jobs beyond J2 are dropped
+    and flagged (j2n returned unclamped).
+
+    Returns flat idt:
+      packed1 [CAPF * N, 5] | aux1 [N] |
+      packed2 [CAPF2 * J2, 5] | aux2 [J2] |
+      j2n | rounds_f1 | rounds_b1 | rounds_f2 | rounds_b2
+    aux encoding as smem_call_machine."""
+    dt = didx.idt
+    N = jobs.shape[0]
+    read = jobs[:, 0].astype(I32)
+    x0j = jobs[:, 1].astype(I32)
+    min_intv = jobs[:, 2].astype(dt)
+    one_shot = jobs[:, 3] != 0
+    # ---- round 1
+    outA = _fwd_phase(didx, q, lens, read, x0j, min_intv, one_shot,
+                      P, MAXC, max_rounds_f)
+    ovf_s, ovf_c = outA["ovf_s"], outA["ovf_c"]
+    nc = jnp.where(ovf_s | ovf_c, 0, outA["call"])
+    outB = _bwd_phase(didx, q, lens, read, nc, outA["meta"][:, :, 0],
+                      outA["meta"][:, :, 1], outA["snap"], min_intv,
+                      P, MAXC, MAXR, min_seed_len, max_rounds_b)
+    eovf = outB["eovf"]
+    overflow1 = ovf_s | ovf_c | eovf
+    aux1 = (outB["mem_n"] | (ovf_s.astype(I32) << 27)
+            | (ovf_c.astype(I32) << 28) | (eovf.astype(I32) << 29)
+            | (overflow1.astype(I32) << 30))
+    packed1, eff1, ends1 = _pack_rows(outB["mem"], outB["mem_n"],
+                                      overflow1, CAPF, dt)
+    # ---- round-2 job construction (device-side; host mirrors it)
+    cap1 = CAPF * N
+    spill1 = ends1 > cap1
+    effC = jnp.where(spill1, 0, eff1)
+    jm = jnp.arange(MAXR, dtype=I32)[None, :]
+    mem = outB["mem"]
+    qual = ((jm < effC[:, None])
+            & ((mem[:, :, 4] - mem[:, :, 3]).astype(I32) >= split_len)
+            & (mem[:, :, 2] <= jnp.asarray(split_width, dt)))
+    qflat = qual.reshape(-1)
+    pos = jnp.cumsum(qflat.astype(I32)) - 1
+    j2n = pos[-1] + 1
+    dest = jnp.where(qflat & (pos < J2), pos, J2)
+    lane_of = jnp.repeat(jnp.arange(N, dtype=I32), MAXR)
+    jr2 = jnp.zeros(J2 + 1, I32).at[dest].set(lane_of, mode="drop")
+    jx2 = (jnp.full(J2 + 1, 1 << 30, I32).at[dest].set(
+        ((mem[:, :, 3] + mem[:, :, 4]).astype(I32) >> 1).reshape(-1),
+        mode="drop"))
+    jmi2 = (jnp.ones(J2 + 1, dt).at[dest].set(
+        (mem[:, :, 2] + 1).reshape(-1), mode="drop"))
+    read2 = read[jr2[:J2]]
+    x2 = jx2[:J2]          # un-filled lanes: x = 1<<30 -> DONE
+    mi2 = jmi2[:J2]
+    osh2 = jnp.ones(J2, bool)
+    # ---- round 2 (one-shot calls, MAXC = 1)
+    outA2 = _fwd_phase(didx, q, lens, read2, x2, mi2, osh2, P, 1,
+                       max_rounds_f)
+    ovf_s2, ovf_c2 = outA2["ovf_s"], outA2["ovf_c"]
+    nc2 = jnp.where(ovf_s2 | ovf_c2, 0, outA2["call"])
+    outB2 = _bwd_phase(didx, q, lens, read2, nc2,
+                       outA2["meta"][:, :, 0], outA2["meta"][:, :, 1],
+                       outA2["snap"], mi2, P, 1, MAXR2, min_seed_len,
+                       max_rounds_b)
+    eovf2 = outB2["eovf"]
+    overflow2 = ovf_s2 | ovf_c2 | eovf2
+    aux2 = (outB2["mem_n"] | (ovf_s2.astype(I32) << 27)
+            | (ovf_c2.astype(I32) << 28) | (eovf2.astype(I32) << 29)
+            | (overflow2.astype(I32) << 30))
+    packed2, _, _ = _pack_rows(outB2["mem"], outB2["mem_n"],
+                               overflow2, CAPF2, dt)
+    return jnp.concatenate(
+        [packed1.reshape(-1), aux1.astype(dt),
+         packed2.reshape(-1), aux2.astype(dt),
+         j2n.astype(dt)[None],
+         outA["rounds"].astype(dt)[None],
+         outB["rounds"].astype(dt)[None],
+         outA2["rounds"].astype(dt)[None],
+         outB2["rounds"].astype(dt)[None]])
 
 
 MACH = 16384  # max lanes per machine dispatch.  8192-lane grouping of
@@ -384,6 +524,197 @@ def run_call_machine(didx, qd, ld, read, x0, min_intv, one_shot,
     return decode_batch(dispatch_batch(
         didx, qd, ld, read, x0, min_intv, one_shot, P, MAXC, MAXR,
         CAPF, min_seed_len, put=put, max_rounds_b=max_rounds_b), CAPF)
+
+
+def _decode_rows(buf, off, mpad, n, CAPF):
+    """Decode one packed (rows, aux) section from a flat machine
+    buffer.  Returns (rows [total, 5], eff [n], ovf [n], next_off)."""
+    cap = CAPF * mpad
+    rows = buf[off:off + cap * 5].reshape(cap, 5)
+    aux = buf[off + cap * 5:off + cap * 5 + mpad].astype(np.int64)
+    mem_n = (aux & 0xFFFF).astype(np.int32)
+    ovf = (aux >> 30) != 0
+    eff = np.where(ovf, 0, mem_n)
+    ends = np.cumsum(eff)
+    spill = ends > cap
+    ovf = ovf | spill
+    eff = np.where(spill, 0, eff)
+    base = ends - eff
+    from .smem_split import _row_offsets
+    sel = np.repeat(base[:n], eff[:n]) + _row_offsets(eff[:n])
+    return rows[sel], eff[:n], ovf[:n], off + cap * 5 + mpad
+
+
+def dispatch_chunk_machine(didx, qd, ld, read, x0, min_intv, one_shot,
+                           P, MAXC, MAXR, CAPF, MAXR2, CAPF2,
+                           min_seed_len, split_len, split_width,
+                           put=jnp.asarray, max_rounds_b=1024):
+    """Pad lanes to pow2 and dispatch the two-round chunk machine
+    (async).  J2 = 2 * mpad round-2 lanes (observed ~1.3 jobs/read;
+    overflow past J2 falls back to the separate-machine path)."""
+    n = len(read)
+    mpad = _pad_pow2(n)
+    J2 = 2 * mpad
+    npdt = didx.np_idt
+    jobs = np.zeros((mpad, 8), npdt)
+    jobs[:, 1] = 1 << 30
+    jobs[:, 2] = 1
+    jobs[:, 3] = 1
+    jobs[:n, 0] = read
+    jobs[:n, 1] = x0
+    jobs[:n, 2] = min_intv
+    jobs[:n, 3] = one_shot
+    buf = smem_chunk_machine(didx, qd, ld, put(jobs), P, MAXC, MAXR,
+                             CAPF, J2, MAXR2, CAPF2,
+                             int(min_seed_len), int(split_len),
+                             int(split_width),
+                             max_rounds_b=int(max_rounds_b))
+    return buf, mpad, n, J2
+
+
+def decode_chunk_machine(handle, CAPF, CAPF2):
+    """Sync + decode a dispatch_chunk_machine buffer.  Returns
+    (rows1, eff1 [n], ovf1 [n], rows2, eff2 [j2n], ovf2 [j2n], j2n,
+    j2_dropped) — j2_dropped means the device ran out of round-2 lanes
+    and the caller must redo round 2 via the separate-machine path."""
+    import time as _time
+    dbuf, mpad, n, J2 = handle
+    t0 = _time.perf_counter()
+    buf = np.asarray(dbuf)
+    sync_s = _time.perf_counter() - t0
+    rows1, eff1, ovf1, off = _decode_rows(buf, 0, mpad, n, CAPF)
+    rows2, eff2, ovf2, off = _decode_rows(buf, off, J2, J2, CAPF2)
+    j2n_dev = int(buf[off])
+    j2n = min(j2n_dev, J2)
+    SEED_STATS.append(("mega", mpad + J2, n, int(buf[off + 1])
+                       + int(buf[off + 2]) + int(buf[off + 3])
+                       + int(buf[off + 4]),
+                       int(np.count_nonzero(ovf1)),
+                       int(np.count_nonzero(ovf2[:j2n])),
+                       int(buf[off + 1]) + int(buf[off + 3]),
+                       int(buf[off + 2]) + int(buf[off + 4]), sync_s))
+    return (rows1, eff1, ovf1, rows2[:int(np.sum(eff2[:j2n]))],
+            eff2[:j2n], ovf2[:j2n], j2n, j2n_dev > J2)
+
+
+def rounds12_mega(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
+                  put=jnp.asarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Rounds 1-2 of mem_collect_intv with ONE dispatch per <= MACH
+    reads (plus a deep retry machine for the rare overflow lanes).
+    Same contract as rounds12_fused."""
+    B = len(lens_np)
+    npdt = didx.np_idt
+    from .smem_split import _stack_P
+    P = _stack_P(didx)
+    MAXC = 8 if np.asarray(reads).shape[1] <= 192 else 16
+    P2, MAXC2, MAXR2 = 32, 32, 48
+    import os as _os
+    RB_CAP = int(_os.environ.get("TPUBWA_RB_CAP", 1024))
+
+    def run_scalar(jobs, rows_out, rids_out):
+        from .smem import _scalar_reseed, _scalar_round1
+        for (ri, x, mi, osh) in jobs:
+            if osh:
+                rows = _scalar_reseed(opt, fmi, reads[ri],
+                                      int(lens_np[ri]), x, mi)
+            else:
+                rows = _scalar_round1(opt, fmi, reads[ri],
+                                      int(lens_np[ri]))
+            rows_out.append(rows)
+            rids_out.append(np.full(len(rows), ri, np.int64))
+
+    def r2_jobs_from(rows, rids):
+        jsel = ((rows[:, 4] - rows[:, 3] >= split_len)
+                & (rows[:, 2] <= opt.split_width))
+        rid = rids[jsel].astype(np.int32)
+        jx = ((rows[jsel, 3] + rows[jsel, 4]) >> 1).astype(np.int32)
+        jmi = (rows[jsel, 2] + 1).astype(npdt)
+        return rid, jx, jmi
+
+    handles = []
+    for s in range(0, B, MACH):
+        e = min(s + MACH, B)
+        handles.append((s, dispatch_chunk_machine(
+            didx, qd, ld, np.arange(s, e, dtype=np.int32),
+            np.zeros(e - s, np.int32), np.ones(e - s, npdt),
+            np.zeros(e - s, bool), P, MAXC, 24, 5, 12, 3,
+            opt.min_seed_len, split_len, opt.split_width, put=put,
+            max_rounds_b=RB_CAP)))
+    rows_out, rids_out, tail_jobs = [], [], []
+    for s, h in handles:
+        (rows1, eff1, ovf1, rows2, eff2, ovf2, j2n,
+         j2_dropped) = decode_chunk_machine(h, 5, 3)
+        rows1 = rows1.astype(np.int64)
+        rids1 = np.repeat(np.arange(len(eff1), dtype=np.int64) + s,
+                          eff1)
+        rows_out.append(rows1)
+        rids_out.append(rids1)
+        # full-protocol retries for round-1 overflow lanes
+        tail_jobs += [(int(ri) + s, 0, 1, False)
+                      for ri in np.flatnonzero(ovf1)]
+        # mirror the device's round-2 job list (same rows, same
+        # (lane, slot) order) to resolve job lanes -> (read, x, mi)
+        rid2, jx2, jmi2 = r2_jobs_from(rows1, rids1)
+        if j2_dropped or len(rid2) != j2n:
+            import logging
+            logging.getLogger("tpubwa").info(
+                "mega r2 fallback: host mirror %d jobs, device %d%s",
+                len(rid2), j2n, " (J2 overflow)" if j2_dropped else "")
+            # device ran out of J2 lanes (or the mirror disagrees —
+            # defensive): redo ALL round-2 jobs on the separate path
+            rows2 = np.zeros((0, 5), np.int64)
+            tail_jobs += [(int(rid2[k]), int(jx2[k]), int(jmi2[k]),
+                           True) for k in range(len(rid2))]
+        else:
+            rows_out.append(rows2.astype(np.int64))
+            rids_out.append(np.repeat(rid2.astype(np.int64), eff2))
+            tail_jobs += [(int(rid2[k]), int(jx2[k]), int(jmi2[k]),
+                           True) for k in np.flatnonzero(ovf2)]
+    # deep retry machine for everything flagged; retried reads' own
+    # round-2 jobs ride a final pass
+    if tail_jobs:
+        jr = np.array([j[0] for j in tail_jobs], np.int32)
+        jx0 = np.array([j[1] for j in tail_jobs], np.int32)
+        jmi = np.array([j[2] for j in tail_jobs], npdt)
+        josh = np.array([j[3] for j in tail_jobs], bool)
+        rows, eff, ovf = run_call_machine(
+            didx, qd, ld, jr, jx0, jmi, josh, P2, MAXC2, MAXR2, 8,
+            opt.min_seed_len, put=put)
+        # rows from full-protocol (round-1) retries spawn round-2
+        # jobs; one_shot entries already WERE round-2 jobs and are
+        # never reseeded (mem_collect_intv reseeds first-pass SMEMs
+        # only).  Track per-row origin across machine + scalar rows.
+        blocks = [rows.astype(np.int64)]
+        rid_blocks = [np.repeat(jr.astype(np.int64), eff)]
+        osh_blocks = [np.repeat(josh, eff)]
+        sc_idx = np.flatnonzero(ovf)
+        run_scalar([tail_jobs[k] for k in sc_idx], blocks, rid_blocks)
+        for bi, k in enumerate(sc_idx):
+            osh_blocks.append(np.full(len(blocks[1 + bi]), josh[k],
+                                      bool))
+        retried = np.concatenate(blocks)
+        retried_rids = np.concatenate(rid_blocks)
+        retried_osh = np.concatenate(osh_blocks)
+        rows_out.append(retried)
+        rids_out.append(retried_rids)
+        rrid, rjx, rjmi = r2_jobs_from(retried[~retried_osh],
+                                       retried_rids[~retried_osh])
+        final_jobs = [(int(rrid[k]), int(rjx[k]), int(rjmi[k]), True)
+                      for k in range(len(rrid))]
+        if final_jobs:
+            jr, jx0, jmi, josh = (
+                np.array([j[0] for j in final_jobs], np.int32),
+                np.array([j[1] for j in final_jobs], np.int32),
+                np.array([j[2] for j in final_jobs], npdt),
+                np.array([j[3] for j in final_jobs], bool))
+            rows, eff, ovf = run_call_machine(
+                didx, qd, ld, jr, jx0, jmi, josh, P2, MAXC2, MAXR2, 8,
+                opt.min_seed_len, put=put)
+            rows_out.append(rows.astype(np.int64))
+            rids_out.append(np.repeat(jr.astype(np.int64), eff))
+            run_scalar([final_jobs[k] for k in np.flatnonzero(ovf)],
+                       rows_out, rids_out)
+    return np.concatenate(rows_out), np.concatenate(rids_out)
 
 
 def rounds12_fused(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
