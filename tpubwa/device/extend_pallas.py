@@ -38,7 +38,9 @@ def _c(v):
     return jnp.asarray(v, I32)
 LANES = 512          # max eh lanes -> qlen <= LANES - 1 (510 bp reads)
 JOBS = 64            # minimum chunk (sublanes)
-CHUNK = 512          # jobs per grid-free kernel launch (VMEM-bound)
+import os as _os
+CHUNK = int(_os.environ.get("TPUBWA_EXT_CHUNK", 512))
+                     # jobs per grid-free kernel launch (VMEM-bound)
 
 
 def chunk_for(width: int) -> int:

@@ -375,7 +375,11 @@ def smem_chunk_machine(didx: DeviceIndex, q: jnp.ndarray,
     # ---- round-2 job construction (device-side; host mirrors it)
     cap1 = CAPF * N
     spill1 = ends1 > cap1
-    effC = jnp.where(spill1, 0, eff1)
+    # one-shot lanes ARE round-2 jobs; mem_collect_intv never reseeds
+    # a second-pass SMEM (their rows still ship, they just spawn no
+    # phase-D work) — this makes the machine correct for mixed
+    # full-protocol + one-shot retry batches
+    effC = jnp.where(spill1 | one_shot, 0, eff1)
     jm = jnp.arange(MAXR, dtype=I32)[None, :]
     mem = outB["mem"]
     qual = ((jm < effC[:, None])
@@ -637,13 +641,13 @@ def rounds12_mega(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         handles.append((s, dispatch_chunk_machine(
             didx, qd, ld, np.arange(s, e, dtype=np.int32),
             np.zeros(e - s, np.int32), np.ones(e - s, npdt),
-            np.zeros(e - s, bool), P, MAXC, 24, 5, 12, 3,
+            np.zeros(e - s, bool), P, MAXC, 24, 5, 12, 1,
             opt.min_seed_len, split_len, opt.split_width, put=put,
             max_rounds_b=RB_CAP)))
     rows_out, rids_out, tail_jobs = [], [], []
     for s, h in handles:
         (rows1, eff1, ovf1, rows2, eff2, ovf2, j2n,
-         j2_dropped) = decode_chunk_machine(h, 5, 3)
+         j2_dropped) = decode_chunk_machine(h, 5, 1)
         rows1 = rows1.astype(np.int64)
         rids1 = np.repeat(np.arange(len(eff1), dtype=np.int64) + s,
                           eff1)
@@ -670,50 +674,77 @@ def rounds12_mega(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
             rids_out.append(np.repeat(rid2.astype(np.int64), eff2))
             tail_jobs += [(int(rid2[k]), int(jx2[k]), int(jmi2[k]),
                            True) for k in np.flatnonzero(ovf2)]
-    # deep retry machine for everything flagged; retried reads' own
-    # round-2 jobs ride a final pass
+    # ONE deep chunk machine for everything flagged: full-protocol
+    # retries run rounds 1+2 (their reseeds built on device, like the
+    # main machine); one-shot retries just re-run with deep caps
     if tail_jobs:
         jr = np.array([j[0] for j in tail_jobs], np.int32)
         jx0 = np.array([j[1] for j in tail_jobs], np.int32)
         jmi = np.array([j[2] for j in tail_jobs], npdt)
         josh = np.array([j[3] for j in tail_jobs], bool)
-        rows, eff, ovf = run_call_machine(
+        h = dispatch_chunk_machine(
             didx, qd, ld, jr, jx0, jmi, josh, P2, MAXC2, MAXR2, 8,
-            opt.min_seed_len, put=put)
-        # rows from full-protocol (round-1) retries spawn round-2
-        # jobs; one_shot entries already WERE round-2 jobs and are
-        # never reseeded (mem_collect_intv reseeds first-pass SMEMs
-        # only).  Track per-row origin across machine + scalar rows.
-        blocks = [rows.astype(np.int64)]
-        rid_blocks = [np.repeat(jr.astype(np.int64), eff)]
-        osh_blocks = [np.repeat(josh, eff)]
-        sc_idx = np.flatnonzero(ovf)
-        run_scalar([tail_jobs[k] for k in sc_idx], blocks, rid_blocks)
-        for bi, k in enumerate(sc_idx):
-            osh_blocks.append(np.full(len(blocks[1 + bi]), josh[k],
-                                      bool))
-        retried = np.concatenate(blocks)
-        retried_rids = np.concatenate(rid_blocks)
-        retried_osh = np.concatenate(osh_blocks)
-        rows_out.append(retried)
-        rids_out.append(retried_rids)
-        rrid, rjx, rjmi = r2_jobs_from(retried[~retried_osh],
-                                       retried_rids[~retried_osh])
-        final_jobs = [(int(rrid[k]), int(rjx[k]), int(rjmi[k]), True)
-                      for k in range(len(rrid))]
-        if final_jobs:
-            jr, jx0, jmi, josh = (
-                np.array([j[0] for j in final_jobs], np.int32),
-                np.array([j[1] for j in final_jobs], np.int32),
-                np.array([j[2] for j in final_jobs], npdt),
-                np.array([j[3] for j in final_jobs], bool))
-            rows, eff, ovf = run_call_machine(
-                didx, qd, ld, jr, jx0, jmi, josh, P2, MAXC2, MAXR2, 8,
-                opt.min_seed_len, put=put)
-            rows_out.append(rows.astype(np.int64))
-            rids_out.append(np.repeat(jr.astype(np.int64), eff))
-            run_scalar([final_jobs[k] for k in np.flatnonzero(ovf)],
-                       rows_out, rids_out)
+            MAXR2, 2, opt.min_seed_len, split_len, opt.split_width,
+            put=put)
+        (rows1, eff1, ovf1, rows2, eff2, ovf2, j2n,
+         j2_dropped) = decode_chunk_machine(h, 8, 2)
+        rows1 = rows1.astype(np.int64)
+        rids1 = np.repeat(jr.astype(np.int64), eff1)
+        rows_out.append(rows1)
+        rids_out.append(rids1)
+        # deep-machine overflow: fully scalar (round 1 + its reseeds)
+        def scalar_full(jobs):
+            from .smem import _scalar_reseed, _scalar_round1
+            for (ri, x, mi, osh) in jobs:
+                if osh:
+                    rows = _scalar_reseed(opt, fmi, reads[ri],
+                                          int(lens_np[ri]), x, mi)
+                    rows_out.append(rows)
+                    rids_out.append(np.full(len(rows), ri, np.int64))
+                    continue
+                rows = _scalar_round1(opt, fmi, reads[ri],
+                                      int(lens_np[ri]))
+                rows_out.append(rows)
+                rids_out.append(np.full(len(rows), ri, np.int64))
+                rrid = np.full(len(rows), ri, np.int64)
+                rid_, jx_, jmi_ = r2_jobs_from(rows, rrid)
+                for k in range(len(rid_)):
+                    rr = _scalar_reseed(opt, fmi, reads[int(rid_[k])],
+                                        int(lens_np[int(rid_[k])]),
+                                        int(jx_[k]), int(jmi_[k]))
+                    rows_out.append(rr)
+                    rids_out.append(np.full(len(rr), int(rid_[k]),
+                                            np.int64))
+        scalar_full([tail_jobs[k] for k in np.flatnonzero(ovf1)])
+        # mirror the device's reseed job list: rows of NON-one-shot,
+        # non-overflow tail lanes, in lane-major slot order
+        osh_rows = np.repeat(josh, eff1)
+        rrid, rjx, rjmi = r2_jobs_from(rows1[~osh_rows],
+                                       rids1[~osh_rows])
+        if j2_dropped or len(rrid) != j2n:
+            import logging
+            logging.getLogger("tpubwa").info(
+                "tail r2 fallback: host mirror %d jobs, device %d",
+                len(rrid), j2n)
+            final_jobs = [(int(rrid[k]), int(rjx[k]), int(rjmi[k]),
+                           True) for k in range(len(rrid))]
+            if final_jobs:
+                jf = np.array([j[0] for j in final_jobs], np.int32)
+                xf = np.array([j[1] for j in final_jobs], np.int32)
+                mf = np.array([j[2] for j in final_jobs], npdt)
+                of = np.ones(len(final_jobs), bool)
+                rows, eff, ovf = run_call_machine(
+                    didx, qd, ld, jf, xf, mf, of, P2, MAXC2, MAXR2, 8,
+                    opt.min_seed_len, put=put)
+                rows_out.append(rows.astype(np.int64))
+                rids_out.append(np.repeat(jf.astype(np.int64), eff))
+                scalar_full([final_jobs[k]
+                             for k in np.flatnonzero(ovf)])
+        else:
+            rows_out.append(rows2.astype(np.int64))
+            rids_out.append(np.repeat(rrid.astype(np.int64), eff2))
+            scalar_full([(int(rrid[k]), int(rjx[k]), int(rjmi[k]),
+                          True) for k in np.flatnonzero(ovf2)])
     return np.concatenate(rows_out), np.concatenate(rids_out)
 
 
