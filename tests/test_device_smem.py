@@ -222,3 +222,81 @@ def test_fused_overflow_retry(setup, monkeypatch):
         gk = sorted((int(x[3]), int(x[4]), int(x[2]), int(x[0]),
                      int(x[1])) for x in got[i])
         assert gk == wk, f"read {i}"
+
+
+def test_megaq_machine_equals_scalar(setup):
+    """mode='megaq' (queue-scheduled backward phases) == scalar
+    oracle, including repetitive / N / garbage reads."""
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    rng = np.random.default_rng(7)
+    opt = MemOpt()
+    reads = []
+    for t in range(10):
+        start = int(rng.integers(0, len(codes) - 110))
+        q = text[start:start + 100].copy()
+        for _ in range(int(rng.integers(0, 6))):
+            q[int(rng.integers(0, 100))] = int(rng.integers(0, 5))
+        reads.append(q)
+    reads.append(np.tile(unit, 3)[:100].copy())
+    reads.append(rng.integers(0, 4, 100).astype(np.uint8))
+    q = text[700:800].copy()
+    q[50] = 4
+    reads.append(q)
+    arr, lens = _pack_reads(reads, 100)
+    got = collect_intv_device(opt, didx, arr, lens, fmi=fmi,
+                              mode="megaq")
+    for i, r in enumerate(reads):
+        want = collect_intv(opt, fmi, r)
+        wk = sorted((m.qb, m.qe, m.size, m.x0, m.x1) for m in want)
+        gk = sorted((int(x[3]), int(x[4]), int(x[2]), int(x[0]),
+                     int(x[1])) for x in got[i])
+        assert gk == wk, f"read {i}"
+
+
+def test_megaq_overflow_retry(setup, monkeypatch):
+    """Forced tiny stack pushes lanes through the megaq deep tail
+    machine and scalar fallback; output must not change."""
+    import tpubwa.device.smem_split as ss
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    opt = MemOpt()
+    monkeypatch.setattr(ss, "_stack_P", lambda d: 8)
+    reads = [np.tile(unit, 3)[:100].copy(),
+             text[100:200].copy(), text[400:500].copy()]
+    arr, lens = _pack_reads(reads, 100)
+    got = collect_intv_device(opt, didx, arr, lens, fmi=fmi,
+                              mode="megaq")
+    for i, r in enumerate(reads):
+        want = collect_intv(opt, fmi, r)
+        wk = sorted((m.qb, m.qe, m.size, m.x0, m.x1) for m in want)
+        gk = sorted((int(x[3]), int(x[4]), int(x[2]), int(x[0]),
+                     int(x[1])) for x in got[i])
+        assert gk == wk, f"read {i}"
+
+
+def test_megaq_emission_cap_retry(setup, monkeypatch):
+    """Forced tiny emission buffer (CAPF) drives the global-buffer
+    overflow path: flagged reads retry on the deep machine."""
+    import tpubwa.device.smem_fused as sf
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    opt = MemOpt()
+    orig = sf.dispatch_chunk_machine_q
+
+    def tiny(didx_, qd, ld, read, x0, mi, osh, P, MAXC, CAPF, CAPF2,
+             *a, **k):
+        return orig(didx_, qd, ld, read, x0, mi, osh, P, MAXC,
+                    1 if CAPF == 5 else CAPF, CAPF2, *a, **k)
+    monkeypatch.setattr(sf, "dispatch_chunk_machine_q", tiny)
+    reads = [text[i * 97:i * 97 + 100].copy() for i in range(8)]
+    reads.append(np.tile(unit, 3)[:100].copy())
+    arr, lens = _pack_reads(reads, 100)
+    got = collect_intv_device(opt, didx, arr, lens, fmi=fmi,
+                              mode="megaq")
+    for i, r in enumerate(reads):
+        want = collect_intv(opt, fmi, r)
+        wk = sorted((m.qb, m.qe, m.size, m.x0, m.x1) for m in want)
+        gk = sorted((int(x[3]), int(x[4]), int(x[2]), int(x[0]),
+                     int(x[1])) for x in got[i])
+        assert gk == wk, f"read {i}"

@@ -368,7 +368,9 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     overflow fallback is unavailable, so the call degrades to the
     all-starts reach path instead of crashing on repetitive input.
 
-    mode: 'mega' (default; rounds 1+2 in ONE dispatch with on-device
+    mode: 'megaq' (two-round single-dispatch machine with QUEUE-
+    scheduled backward phases — smem_fused.py:smem_chunk_machine_q),
+    'mega' (default; rounds 1+2 in ONE dispatch with on-device
     round-2 job construction — smem_fused.py:smem_chunk_machine),
     'fused' (one dispatch per seeding round), 'split' (phase-split
     fwd/bwd machines — smem_split.py), 'cursor' (combined machine),
@@ -404,7 +406,12 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     blocks = []
     rids = []
     if use_cursor:
-        if mode == "mega":
+        if mode == "megaq":
+            from .smem_fused import rounds12_megaq
+            rows12, rids12 = rounds12_megaq(opt, didx, qd, ld,
+                                            lens_np, reads, split_len,
+                                            fmi, put=put_sharded)
+        elif mode == "mega":
             from .smem_fused import rounds12_mega
             rows12, rids12 = rounds12_mega(opt, didx, qd, ld, lens_np,
                                            reads, split_len, fmi,

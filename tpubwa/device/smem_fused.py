@@ -260,6 +260,166 @@ def _bwd_phase(didx: DeviceIndex, q, lens, read, nc, meta_x, meta_m,
     return outB
 
 
+def _bwd_phase_queue(didx: DeviceIndex, q, lens, read, nc, meta_x,
+                     meta_m, snapA, min_intv, P: int, MAXC: int,
+                     CAP: int, ML: int, min_seed_len: int,
+                     max_rounds_b: int):
+    """Backward passes (phase B) with a GLOBAL CALL QUEUE.
+
+    The per-read sequential walk of `_bwd_phase` bounds rounds by the
+    straggler read (max over lanes of its summed backward spans); the
+    calls themselves are independent (cem/lqb reset on every call
+    load), so here every (lane, call) pair of the whole chunk goes
+    into one flat queue and each of the ML machine lanes pulls the
+    next unclaimed call whenever its current one finishes — rounds
+    drop to ~ total-backward-work / ML + the longest single call.
+
+    Emissions append to a global [CAP, 6] buffer (x0, x1, size, qb,
+    qe, src_fwd_lane) via a per-round rank scatter; order is machine-
+    chronological, which both the device round-2 job builder and the
+    host decode consume identically (the final per-read multiset is
+    what the contract requires — collect_intv_device lexsorts).
+
+    Returns dict(out [CAP, 6], out_n, ovf [N] per-FWD-LANE flags
+    (emission drop | hung | unserved queue entries), rounds)."""
+    dt = didx.idt
+    N = read.shape[0]
+    L = q.shape[1]
+    NQ = N * MAXC
+    jidx = jnp.arange(P, dtype=I32)[None, :]
+
+    # ---- flat queue: entry k (in (lane, call) order) -> src index
+    # lane * MAXC + c into the phase-A snapshot/meta buffers
+    ncc = jnp.minimum(nc, MAXC)
+    offs = jnp.cumsum(ncc) - ncc
+    TC = jnp.sum(ncc, dtype=I32)
+    cidx = jnp.arange(MAXC, dtype=I32)[None, :]
+    valid = cidx < ncc[:, None]
+    tgt = jnp.where(valid, offs[:, None] + cidx, NQ)
+    srcv = (jnp.arange(N, dtype=I32)[:, None] * MAXC
+            + jnp.broadcast_to(cidx, (N, MAXC)))
+    q_src = jnp.zeros(NQ + 1, I32).at[tgt.reshape(-1)].set(
+        srcv.reshape(-1), mode="drop")[:NQ]
+    snap_flat = snapA.reshape(N * MAXC * P, 4)
+    mx_flat = meta_x.reshape(-1)
+    mm_flat = meta_m.reshape(-1)
+
+    st0 = dict(
+        qhead=jnp.zeros((), I32),
+        src=jnp.full(ML, -1, I32),
+        rd=jnp.zeros(ML, I32),
+        mi=jnp.ones(ML, dt),
+        i=jnp.zeros(ML, I32),
+        st=jnp.zeros((ML, P, 4), dt),
+        m=jnp.zeros(ML, I32),
+        cem=jnp.zeros(ML, bool),
+        lqb=jnp.zeros(ML, I32),
+        out=jnp.zeros((CAP, 6), dt),
+        out_n=jnp.zeros((), I32),
+        ovf=jnp.zeros(N, bool),
+        rounds=jnp.zeros((), I32),
+    )
+
+    def cond(s):
+        return (((s["qhead"] < TC) | jnp.any(s["src"] >= 0))
+                & (s["rounds"] < max_rounds_b))
+
+    def body(s):
+        src, rd, mi, i = s["src"], s["rd"], s["mi"], s["i"]
+        st, m, cem, lqb = s["st"], s["m"], s["cem"], s["lqb"]
+        out, out_n, ovf = s["out"], s["out_n"], s["ovf"]
+        # ---- pull: empty lanes claim the next queue entries
+        empty = src < 0
+        rank = jnp.cumsum(empty.astype(I32)) - 1
+        qi = s["qhead"] + rank
+        pull = empty & (qi < TC)
+        srcn = q_src[jnp.clip(qi, 0, NQ - 1)]
+        src = jnp.where(pull, srcn, src)
+        qhead = s["qhead"] + jnp.sum(pull, dtype=I32)
+        src_c = jnp.clip(src, 0, NQ - 1)
+        src_lane = src_c // MAXC
+        m_c = mm_flat[src_c]
+        x_c = mx_flat[src_c]
+        # stack load, flipped push-order -> ascending-size on the fly
+        fidx = src_c[:, None] * P + jnp.clip(m_c[:, None] - 1 - jidx,
+                                             0, P - 1)
+        ld = jnp.where((jidx < m_c[:, None])[..., None],
+                       snap_flat[fidx], 0)
+        st = jnp.where(pull[:, None, None], ld, st)
+        m = jnp.where(pull, m_c, m)
+        i = jnp.where(pull, x_c - 1, i)
+        cem = jnp.where(pull, False, cem)
+        lqb = jnp.where(pull, 0, lqb)
+        rd = jnp.where(pull, read[src_lane], rd)
+        mi = jnp.where(pull, min_intv[src_lane], mi)
+
+        act = src >= 0
+        bw = act & (m > 0)
+        p = jnp.clip(i, 0, L - 1)
+        ci = q[rd, p].astype(I32)
+        neg = (i < 0) | (ci > 3)
+        cb = jnp.clip(ci, 0, 3)
+        okb = bwt_extend(didx, st[:, :, :3], is_back=True)
+        okc = _sel_base(okb, jnp.broadcast_to(cb[:, None], (ML, P)))
+        szs = okc[:, :, 2]
+        validj = jidx < m[:, None]
+        ext = validj & ~neg[:, None] & (szs >= mi[:, None])
+        ext0 = ext[:, 0]
+        emitc = bw & ~ext0
+        cond2 = ~cem | (i + 1 < lqb)
+        do_emit = emitc & cond2
+        p0 = st[:, 0]
+        len_ok = (p0[:, 3].astype(I32) - (i + 1)) >= min_seed_len
+        store = do_emit & len_ok
+        erank = jnp.cumsum(store.astype(I32)) - 1
+        gpos = out_n + erank
+        can = store & (gpos < CAP)
+        row6 = jnp.concatenate(
+            [p0[:, :3], (i + 1)[:, None].astype(dt), p0[:, 3:4],
+             src_lane[:, None].astype(dt)], axis=1)
+        out = out.at[jnp.where(can, gpos, CAP)].set(row6, mode="drop")
+        out_n = out_n + jnp.sum(can, dtype=I32)
+        drop = store & ~can
+        ovf = ovf.at[jnp.where(drop, src_lane, N)].set(
+            True, mode="drop")
+        cem = jnp.where(do_emit, True, cem)
+        lqb = jnp.where(do_emit, i + 1, lqb)
+        prev_ext = jnp.concatenate(
+            [jnp.zeros((ML, 1), bool), ext[:, :-1]], axis=1)
+        prev_sz = jnp.concatenate(
+            [jnp.full((ML, 1), -1, dt), szs[:, :-1]], axis=1)
+        kept = ext & (~prev_ext | (szs != prev_sz))
+        new_m = jnp.sum(kept, axis=1).astype(I32)
+        dest = jnp.cumsum(kept.astype(I32), axis=1) - 1
+        newrow = jnp.concatenate([okc, st[:, :, 3:4]], axis=2)
+        oh2 = kept[:, None, :] & (dest[:, None, :] == jidx[:, :, None])
+        compacted = jnp.sum(
+            jnp.where(oh2[:, :, :, None], newrow[:, None, :, :], 0),
+            axis=2, dtype=newrow.dtype)
+        st = jnp.where(bw[:, None, None], compacted, st)
+        m = jnp.where(bw, new_m, m)
+        fin = act & (m == 0)
+        src = jnp.where(fin, -1, src)
+        i = jnp.where(bw & (m > 0), i - 1, i)
+        return dict(qhead=qhead, src=src, rd=rd, mi=mi, i=i, st=st,
+                    m=m, cem=cem, lqb=lqb, out=out, out_n=out_n,
+                    ovf=ovf, rounds=s["rounds"] + 1)
+
+    outB = jax.lax.while_loop(cond, body, st0)
+    # round-cap hit: flag in-flight lanes' reads and unserved entries
+    ovf = outB["ovf"]
+    hung = outB["src"] >= 0
+    ovf = ovf.at[jnp.where(
+        hung, jnp.clip(outB["src"], 0, NQ - 1) // MAXC, N)].set(
+        True, mode="drop")
+    pos = jnp.arange(NQ, dtype=I32)
+    unserved = (pos >= outB["qhead"]) & (pos < TC)
+    ovf = ovf.at[jnp.where(unserved, q_src // MAXC, N)].set(
+        True, mode="drop")
+    return dict(out=outB["out"], out_n=outB["out_n"], ovf=ovf,
+                rounds=outB["rounds"])
+
+
 def _pack_rows(mem, mem_n, overflow, CAPF, dt):
     """Device-side compaction: the mem buffer is ~90% zeros; ship only
     the packed prefix.  Returns (packed [CAPF*N, 5], eff [N] — the
@@ -419,6 +579,92 @@ def smem_chunk_machine(didx: DeviceIndex, q: jnp.ndarray,
     return jnp.concatenate(
         [packed1.reshape(-1), aux1.astype(dt),
          packed2.reshape(-1), aux2.astype(dt),
+         j2n.astype(dt)[None],
+         outA["rounds"].astype(dt)[None],
+         outB["rounds"].astype(dt)[None],
+         outA2["rounds"].astype(dt)[None],
+         outB2["rounds"].astype(dt)[None]])
+
+
+@partial(jax.jit, static_argnames=("P", "MAXC", "CAPF", "J2",
+                                   "CAPF2", "MLX", "min_seed_len",
+                                   "split_len", "split_width",
+                                   "max_rounds_f", "max_rounds_b"))
+def smem_chunk_machine_q(didx: DeviceIndex, q: jnp.ndarray,
+                         lens: jnp.ndarray, jobs: jnp.ndarray,
+                         P: int, MAXC: int, CAPF: int,
+                         J2: int, CAPF2: int, MLX: int,
+                         min_seed_len: int, split_len: int,
+                         split_width: int, max_rounds_f: int = 2048,
+                         max_rounds_b: int = 1024):
+    """Two-round seeding machine with QUEUE-scheduled backward phases
+    (see `_bwd_phase_queue`; forward phases and on-device round-2 job
+    construction as `smem_chunk_machine`).  Round-2 jobs are built
+    from the round-1 emission buffer IN BUFFER ORDER over rows of
+    non-overflow, non-one-shot lanes — the host decode mirrors the
+    identical filter to recover the job -> (read, x, mi) mapping.
+
+    Returns flat idt:
+      out1 [CAPF * N, 6] | ovf1 [N] | out2 [CAPF2 * J2, 6] | ovf2 [J2]
+      | out_n1 | out_n2 | j2n | rounds_f1 | rounds_b1 | rounds_f2
+      | rounds_b2
+    rows are (x0, x1, size, qb, qe, lane); j2n unclamped (> J2 means
+    the device ran out of round-2 lanes)."""
+    dt = didx.idt
+    N = jobs.shape[0]
+    CAP1 = CAPF * N
+    CAP2 = CAPF2 * J2
+    ML = MLX * N
+    read = jobs[:, 0].astype(I32)
+    x0j = jobs[:, 1].astype(I32)
+    min_intv = jobs[:, 2].astype(dt)
+    one_shot = jobs[:, 3] != 0
+    # ---- round 1
+    outA = _fwd_phase(didx, q, lens, read, x0j, min_intv, one_shot,
+                      P, MAXC, max_rounds_f)
+    fovf1 = outA["ovf_s"] | outA["ovf_c"]
+    nc = jnp.where(fovf1, 0, outA["call"])
+    outB = _bwd_phase_queue(didx, q, lens, read, nc,
+                            outA["meta"][:, :, 0],
+                            outA["meta"][:, :, 1], outA["snap"],
+                            min_intv, P, MAXC, CAP1, ML,
+                            min_seed_len, max_rounds_b)
+    ovf1 = fovf1 | outB["ovf"]
+    out1, out_n1 = outB["out"], outB["out_n"]
+    # ---- round-2 job construction (buffer order; host mirrors)
+    pos = jnp.arange(CAP1, dtype=I32)
+    lane_col = out1[:, 5].astype(I32)
+    qual = ((pos < out_n1) & ~ovf1[lane_col] & ~one_shot[lane_col]
+            & ((out1[:, 4] - out1[:, 3]).astype(I32) >= split_len)
+            & (out1[:, 2] <= jnp.asarray(split_width, dt)))
+    qpos = jnp.cumsum(qual.astype(I32)) - 1
+    j2n = jnp.sum(qual, dtype=I32)
+    dest = jnp.where(qual & (qpos < J2), qpos, J2)
+    jr2 = jnp.zeros(J2 + 1, I32).at[dest].set(read[lane_col],
+                                              mode="drop")
+    jx2 = jnp.full(J2 + 1, 1 << 30, I32).at[dest].set(
+        ((out1[:, 3] + out1[:, 4]).astype(I32) >> 1), mode="drop")
+    jmi2 = jnp.ones(J2 + 1, dt).at[dest].set(out1[:, 2] + 1,
+                                             mode="drop")
+    read2 = jr2[:J2]
+    x2 = jx2[:J2]
+    mi2 = jmi2[:J2]
+    osh2 = jnp.ones(J2, bool)
+    # ---- round 2 (one-shot calls, MAXC = 1)
+    outA2 = _fwd_phase(didx, q, lens, read2, x2, mi2, osh2, P, 1,
+                       max_rounds_f)
+    fovf2 = outA2["ovf_s"] | outA2["ovf_c"]
+    nc2 = jnp.where(fovf2, 0, outA2["call"])
+    outB2 = _bwd_phase_queue(didx, q, lens, read2, nc2,
+                             outA2["meta"][:, :, 0],
+                             outA2["meta"][:, :, 1], outA2["snap"],
+                             mi2, P, 1, CAP2, J2, min_seed_len,
+                             max_rounds_b)
+    ovf2 = fovf2 | outB2["ovf"]
+    return jnp.concatenate(
+        [outB["out"].reshape(-1), ovf1.astype(dt),
+         outB2["out"].reshape(-1), ovf2.astype(dt),
+         out_n1.astype(dt)[None], outB2["out_n"].astype(dt)[None],
          j2n.astype(dt)[None],
          outA["rounds"].astype(dt)[None],
          outB["rounds"].astype(dt)[None],
@@ -599,6 +845,207 @@ def decode_chunk_machine(handle, CAPF, CAPF2):
                        int(buf[off + 2]) + int(buf[off + 4]), sync_s))
     return (rows1, eff1, ovf1, rows2[:int(np.sum(eff2[:j2n]))],
             eff2[:j2n], ovf2[:j2n], j2n, j2n_dev > J2)
+
+
+def dispatch_chunk_machine_q(didx, qd, ld, read, x0, min_intv,
+                             one_shot, P, MAXC, CAPF, CAPF2,
+                             min_seed_len, split_len, split_width,
+                             put=jnp.asarray, max_rounds_b=1024,
+                             MLX=1):
+    """Pad lanes to pow2 and dispatch the queue-scheduled two-round
+    chunk machine (async)."""
+    n = len(read)
+    mpad = _pad_pow2(n)
+    J2 = 2 * mpad
+    npdt = didx.np_idt
+    jobs = np.zeros((mpad, 8), npdt)
+    jobs[:, 1] = 1 << 30
+    jobs[:, 2] = 1
+    jobs[:, 3] = 1
+    jobs[:n, 0] = read
+    jobs[:n, 1] = x0
+    jobs[:n, 2] = min_intv
+    jobs[:n, 3] = one_shot
+    buf = smem_chunk_machine_q(didx, qd, ld, put(jobs), P, MAXC,
+                               CAPF, J2, CAPF2, int(MLX),
+                               int(min_seed_len), int(split_len),
+                               int(split_width),
+                               max_rounds_b=int(max_rounds_b))
+    return buf, mpad, n, J2, CAPF, CAPF2
+
+
+def decode_chunk_machine_q(handle):
+    """Sync + decode a dispatch_chunk_machine_q buffer.
+
+    Returns (rows1 [k1, 5] int64, lane1 [k1] — per-row source lane
+    (< n, buffer order, overflow lanes' rows already dropped);
+    ovf1 [n]; rows2 [k2, 5], lane2 [k2] — round-2 job indices;
+    ovf2 [J2]; j2n_dev — device's unclamped round-2 job count)."""
+    import time as _time
+    dbuf, mpad, n, J2, CAPF, CAPF2 = handle
+    t0 = _time.perf_counter()
+    buf = np.asarray(dbuf)
+    sync_s = _time.perf_counter() - t0
+    cap1, cap2 = CAPF * mpad, CAPF2 * J2
+    off = 0
+    out1 = buf[off:off + cap1 * 6].reshape(cap1, 6)
+    off += cap1 * 6
+    ovf1 = buf[off:off + mpad] != 0
+    off += mpad
+    out2 = buf[off:off + cap2 * 6].reshape(cap2, 6)
+    off += cap2 * 6
+    ovf2 = buf[off:off + J2] != 0
+    off += J2
+    (out_n1, out_n2, j2n_dev, rf1, rb1, rf2, rb2) = (
+        int(v) for v in buf[off:off + 7])
+    r1 = out1[:out_n1]
+    lane1 = r1[:, 5].astype(np.int64)
+    keep1 = ~ovf1[lane1]
+    r2 = out2[:out_n2]
+    lane2 = r2[:, 5].astype(np.int64)
+    keep2 = ~ovf2[lane2]
+    SEED_STATS.append(("megaq", mpad + J2, n, rf1 + rb1 + rf2 + rb2,
+                       int(np.count_nonzero(ovf1[:n])),
+                       int(np.count_nonzero(ovf2)),
+                       rf1 + rf2, rb1 + rb2, sync_s))
+    return (r1[keep1, :5].astype(np.int64), lane1[keep1], ovf1[:n],
+            r2[keep2, :5].astype(np.int64), lane2[keep2], ovf2,
+            j2n_dev)
+
+
+def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
+                   put=jnp.asarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Rounds 1-2 of mem_collect_intv on the queue-scheduled mega
+    machine: ONE dispatch per <= MACH reads plus one deep tail machine
+    for overflow lanes.  Same contract as rounds12_fused."""
+    B = len(lens_np)
+    npdt = didx.np_idt
+    from .smem_split import _stack_P
+    P = _stack_P(didx)
+    MAXC = 8 if np.asarray(reads).shape[1] <= 192 else 16
+    P2, MAXC2 = 32, 32
+    import os as _os
+    RB_CAP = int(_os.environ.get("TPUBWA_RB_CAP", 1024))
+    MLX = int(_os.environ.get("TPUBWA_QB_MLX", 1))
+
+    def mirror_jobs(rows, rids, osh_rows):
+        """Mirror the device's round-2 job construction: filter the
+        kept rows in buffer order."""
+        jsel = (~osh_rows
+                & (rows[:, 4] - rows[:, 3] >= split_len)
+                & (rows[:, 2] <= opt.split_width))
+        rid = rids[jsel].astype(np.int32)
+        jx = ((rows[jsel, 3] + rows[jsel, 4]) >> 1).astype(np.int32)
+        jmi = (rows[jsel, 2] + 1).astype(npdt)
+        return rid, jx, jmi
+
+    handles = []
+    for s in range(0, B, MACH):
+        e = min(s + MACH, B)
+        handles.append((s, dispatch_chunk_machine_q(
+            didx, qd, ld, np.arange(s, e, dtype=np.int32),
+            np.zeros(e - s, np.int32), np.ones(e - s, npdt),
+            np.zeros(e - s, bool), P, MAXC, 5, 1,
+            opt.min_seed_len, split_len, opt.split_width, put=put,
+            max_rounds_b=RB_CAP, MLX=MLX)))
+    rows_out, rids_out, tail_jobs = [], [], []
+    for s, h in handles:
+        (rows1, lane1, ovf1, rows2, lane2, ovf2,
+         j2n_dev) = decode_chunk_machine_q(h)
+        rids1 = lane1 + s
+        rows_out.append(rows1)
+        rids_out.append(rids1)
+        tail_jobs += [(int(ri) + s, 0, 1, False)
+                      for ri in np.flatnonzero(ovf1)]
+        rid2, jx2, jmi2 = mirror_jobs(rows1, rids1,
+                                      np.zeros(len(rows1), bool))
+        J2 = h[3]
+        if len(rid2) != j2n_dev:
+            import logging
+            logging.getLogger("tpubwa").info(
+                "megaq r2 fallback: host mirror %d jobs, device %d",
+                len(rid2), j2n_dev)
+            tail_jobs += [(int(rid2[k]), int(jx2[k]), int(jmi2[k]),
+                           True) for k in range(len(rid2))]
+        else:
+            # jobs >= J2 never ran on device (dropped); retry those
+            # plus the flagged ones
+            n_ok = min(j2n_dev, J2)
+            rows_out.append(rows2)
+            rids_out.append(rid2[lane2].astype(np.int64))
+            redo = set(np.flatnonzero(ovf2[:n_ok]).tolist())
+            redo.update(range(n_ok, j2n_dev))
+            tail_jobs += [(int(rid2[k]), int(jx2[k]), int(jmi2[k]),
+                           True) for k in sorted(redo)]
+    # ---- ONE deep tail machine for everything flagged
+    if tail_jobs:
+        jr = np.array([j[0] for j in tail_jobs], np.int32)
+        jx0 = np.array([j[1] for j in tail_jobs], np.int32)
+        jmi = np.array([j[2] for j in tail_jobs], npdt)
+        josh = np.array([j[3] for j in tail_jobs], bool)
+        h = dispatch_chunk_machine_q(
+            didx, qd, ld, jr, jx0, jmi, josh, P2, MAXC2, 8, 2,
+            opt.min_seed_len, split_len, opt.split_width, put=put)
+        (rows1, lane1, ovf1, rows2, lane2, ovf2,
+         j2n_dev) = decode_chunk_machine_q(h)
+        rids1 = jr[lane1].astype(np.int64)
+        rows_out.append(rows1)
+        rids_out.append(rids1)
+
+        def scalar_full(jobs):
+            from .smem import _scalar_reseed, _scalar_round1
+            for (ri, x, mi, osh) in jobs:
+                if osh:
+                    rows = _scalar_reseed(opt, fmi, reads[ri],
+                                          int(lens_np[ri]), x, mi)
+                    rows_out.append(rows)
+                    rids_out.append(np.full(len(rows), ri, np.int64))
+                    continue
+                rows = _scalar_round1(opt, fmi, reads[ri],
+                                      int(lens_np[ri]))
+                rows_out.append(rows)
+                rids_out.append(np.full(len(rows), ri, np.int64))
+                rrid = np.full(len(rows), ri, np.int64)
+                rid_, jx_, jmi_ = mirror_jobs(
+                    rows, rrid, np.zeros(len(rows), bool))
+                for k in range(len(rid_)):
+                    rr = _scalar_reseed(opt, fmi, reads[int(rid_[k])],
+                                        int(lens_np[int(rid_[k])]),
+                                        int(jx_[k]), int(jmi_[k]))
+                    rows_out.append(rr)
+                    rids_out.append(np.full(len(rr), int(rid_[k]),
+                                            np.int64))
+        scalar_full([tail_jobs[k] for k in np.flatnonzero(ovf1)])
+        rrid, rjx, rjmi = mirror_jobs(rows1, rids1, josh[lane1])
+        J2t = h[3]
+        if len(rrid) != j2n_dev:
+            import logging
+            logging.getLogger("tpubwa").info(
+                "tail r2 fallback: host mirror %d jobs, device %d",
+                len(rrid), j2n_dev)
+            final_jobs = [(int(rrid[k]), int(rjx[k]), int(rjmi[k]),
+                           True) for k in range(len(rrid))]
+            if final_jobs:
+                jf = np.array([j[0] for j in final_jobs], np.int32)
+                xf = np.array([j[1] for j in final_jobs], np.int32)
+                mf = np.array([j[2] for j in final_jobs], npdt)
+                of = np.ones(len(final_jobs), bool)
+                rows, eff, ovf = run_call_machine(
+                    didx, qd, ld, jf, xf, mf, of, P2, MAXC2, 48, 8,
+                    opt.min_seed_len, put=put)
+                rows_out.append(rows.astype(np.int64))
+                rids_out.append(np.repeat(jf.astype(np.int64), eff))
+                scalar_full([final_jobs[k]
+                             for k in np.flatnonzero(ovf)])
+        else:
+            n_ok = min(j2n_dev, J2t)
+            rows_out.append(rows2)
+            rids_out.append(rrid[lane2].astype(np.int64))
+            redo = set(np.flatnonzero(ovf2[:n_ok]).tolist())
+            redo.update(range(n_ok, j2n_dev))
+            scalar_full([(int(rrid[k]), int(rjx[k]), int(rjmi[k]),
+                          True) for k in sorted(redo)])
+    return np.concatenate(rows_out), np.concatenate(rids_out)
 
 
 def rounds12_mega(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
