@@ -655,10 +655,14 @@ def smem_chunk_machine_q(didx: DeviceIndex, q: jnp.ndarray,
                        max_rounds_f)
     fovf2 = outA2["ovf_s"] | outA2["ovf_c"]
     nc2 = jnp.where(fovf2, 0, outA2["call"])
+    # ML = N machine lanes (not J2 = 2N): round-2 has ~1.3 calls per
+    # read, so J2 lanes would mostly idle while paying the per-round
+    # gather cost, and 2N lanes lands in the super-linear machine
+    # regime at full chunks (docs/PERF_NOTES.md)
     outB2 = _bwd_phase_queue(didx, q, lens, read2, nc2,
                              outA2["meta"][:, :, 0],
                              outA2["meta"][:, :, 1], outA2["snap"],
-                             mi2, P, 1, CAP2, J2, min_seed_len,
+                             mi2, P, 1, CAP2, ML, min_seed_len,
                              max_rounds_b)
     ovf2 = fovf2 | outB2["ovf"]
     return jnp.concatenate(
