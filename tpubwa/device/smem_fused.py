@@ -260,6 +260,121 @@ def _bwd_phase(didx: DeviceIndex, q, lens, read, nc, meta_x, meta_m,
     return outB
 
 
+def _fwd_phase_queue1(didx: DeviceIndex, q, lens, read, x0j, min_intv,
+                      n_jobs, P: int, ML: int, max_rounds_f: int):
+    """Forward passes for ONE-SHOT jobs (single call each — the
+    round-2 reseed protocol) with a global job queue: job k is
+    independent of job j, so ML machine lanes pull jobs 0..n_jobs-1
+    in order and run each to its first break.  Versus running one
+    lockstep lane per job slot this drops per-round cost from NJ
+    lanes (mostly dead — ~1.3 live jobs per read over 2N slots) to
+    ML and rounds from max-span to ~total-work/ML.
+
+    Returns the `_fwd_phase` contract shapes for MAXC=1: dict with
+    snap [NJ, 1, P, 4], meta [NJ, 1, 2], call [NJ] (0/1), ovf_s,
+    ovf_c [NJ], rounds."""
+    dt = didx.idt
+    NJ = read.shape[0]
+    L = q.shape[1]
+    jidx = jnp.arange(P, dtype=I32)
+
+    st0 = dict(
+        qhead=jnp.zeros((), I32),
+        src=jnp.full(ML, -1, I32),
+        rd=jnp.zeros(ML, I32),
+        mi=jnp.ones(ML, dt),
+        x=jnp.zeros(ML, I32),
+        i=jnp.zeros(ML, I32),
+        ik=jnp.zeros((ML, 3), dt),
+        ik_qe=jnp.zeros(ML, I32),
+        m=jnp.zeros(ML, I32),
+        snap=jnp.zeros((NJ * P, 4), dt),
+        meta=jnp.zeros((NJ, 2), I32),
+        nc=jnp.zeros(NJ, I32),
+        ovf=jnp.zeros(NJ, bool),
+        rounds=jnp.zeros((), I32),
+    )
+
+    def cond(s):
+        return (((s["qhead"] < n_jobs) | jnp.any(s["src"] >= 0))
+                & (s["rounds"] < max_rounds_f))
+
+    def body(s):
+        src, rd, mi = s["src"], s["rd"], s["mi"]
+        x, i, ik, ik_qe, m = s["x"], s["i"], s["ik"], s["ik_qe"], s["m"]
+        snap, meta, nc, ovf = s["snap"], s["meta"], s["nc"], s["ovf"]
+        # ---- pull + restart (same round)
+        empty = src < 0
+        rank = jnp.cumsum(empty.astype(I32)) - 1
+        qi = s["qhead"] + rank
+        pull = empty & (qi < n_jobs)
+        src = jnp.where(pull, qi, src)
+        qhead = s["qhead"] + jnp.sum(pull, dtype=I32)
+        src_c = jnp.clip(src, 0, NJ - 1)
+        rd = jnp.where(pull, read[src_c], rd)
+        mi = jnp.where(pull, min_intv[src_c], mi)
+        len_i = lens[rd].astype(I32)
+        xn = x0j[src_c]
+        x = jnp.where(pull, xn, x)
+        pc = jnp.clip(x, 0, L - 1)
+        cx = q[rd, pc].astype(I32)
+        # one-shot: x >= len or ambiguous base -> no call at all
+        dead0 = pull & ((x >= len_i) | (cx > 3))
+        start = pull & ~dead0
+        ik = jnp.where(start[:, None],
+                       set_intv(didx, jnp.clip(cx, 0, 3)), ik)
+        ik_qe = jnp.where(start, x + 1, ik_qe)
+        i = jnp.where(start, x + 1, i)
+        m = jnp.where(start, 0, m)
+        src = jnp.where(dead0, -1, src)
+
+        # ---- forward step (bodyA of _fwd_phase, single-call form)
+        fw = src >= 0
+        at_end = fw & (i >= len_i)
+        pi = jnp.clip(i, 0, L - 1)
+        ci = q[rd, pi].astype(I32)
+        amb = fw & ~at_end & (ci > 3)
+        okf = bwt_extend(didx, ik, is_back=False)
+        nik = _sel_base(okf, 3 - ci)
+        schange = fw & ~at_end & ~amb & (nik[:, 2] != ik[:, 2])
+        failf = schange & (nik[:, 2] < mi)
+        push = at_end | amb | schange
+        can_push = push & (m < P)
+        ovf_now = push & (m >= P)
+        ovf = ovf.at[jnp.where(ovf_now, src_c, NJ)].set(
+            True, mode="drop")
+        row = jnp.concatenate([ik, ik_qe[:, None].astype(dt)], axis=1)
+        snap = snap.at[jnp.where(can_push, src_c * P + m, NJ * P)].set(
+            row, mode="drop")
+        m = m + push.astype(I32)
+        adv = fw & ~at_end & ~amb & ~failf
+        ik = jnp.where(adv[:, None], nik, ik)
+        ik_qe = jnp.where(adv, i + 1, ik_qe)
+        i = jnp.where(adv, i + 1, i)
+        trans = at_end | amb | failf
+        meta = meta.at[jnp.where(trans, src_c, NJ)].set(
+            jnp.stack([x, m], axis=1), mode="drop")
+        nc = nc.at[jnp.where(trans, src_c, NJ)].set(1, mode="drop")
+        src = jnp.where(trans | ovf_now, -1, src)
+        return dict(qhead=qhead, src=src, rd=rd, mi=mi, x=x, i=i,
+                    ik=ik, ik_qe=ik_qe, m=m, snap=snap, meta=meta,
+                    nc=nc, ovf=ovf, rounds=s["rounds"] + 1)
+
+    out = jax.lax.while_loop(cond, body, st0)
+    # round-cap hit: flag in-flight lanes' jobs and unserved entries
+    ovf = out["ovf"]
+    hung = out["src"] >= 0
+    ovf = ovf.at[jnp.where(hung, jnp.clip(out["src"], 0, NJ - 1),
+                           NJ)].set(True, mode="drop")
+    pos = jnp.arange(NJ, dtype=I32)
+    unserved = (pos >= out["qhead"]) & (pos < n_jobs)
+    ovf = ovf | unserved
+    return dict(snap=out["snap"].reshape(NJ, 1, P, 4),
+                meta=out["meta"].reshape(NJ, 1, 2),
+                call=out["nc"], ovf_s=ovf,
+                ovf_c=jnp.zeros(NJ, bool), rounds=out["rounds"])
+
+
 def _bwd_phase_queue(didx: DeviceIndex, q, lens, read, nc, meta_x,
                      meta_m, snapA, min_intv, P: int, MAXC: int,
                      CAP: int, ML: int, min_seed_len: int,
@@ -649,10 +764,12 @@ def smem_chunk_machine_q(didx: DeviceIndex, q: jnp.ndarray,
     read2 = jr2[:J2]
     x2 = jx2[:J2]
     mi2 = jmi2[:J2]
-    osh2 = jnp.ones(J2, bool)
-    # ---- round 2 (one-shot calls, MAXC = 1)
-    outA2 = _fwd_phase(didx, q, lens, read2, x2, mi2, osh2, P, 1,
-                       max_rounds_f)
+    # ---- round 2 (one-shot calls, MAXC = 1; queue-scheduled fwd on
+    # ML lanes — 2/3 of the J2 lockstep slots would be dead lanes
+    # still paying gathers every round)
+    outA2 = _fwd_phase_queue1(didx, q, lens, read2, x2, mi2,
+                              jnp.minimum(j2n, J2), P, ML,
+                              max_rounds_f)
     fovf2 = outA2["ovf_s"] | outA2["ovf_c"]
     nc2 = jnp.where(fovf2, 0, outA2["call"])
     # ML = N machine lanes (not J2 = 2N): round-2 has ~1.3 calls per
