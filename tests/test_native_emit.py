@@ -192,3 +192,41 @@ def test_pe_nopairing_norescue(setup):
     opt = MemOpt(flag=MEM_F_PE | 0x4 | 0x20)  # -P -S
     reads = _pairs(codes, rng, 20)
     _compare(opt, fmi, reads, 9, "")
+
+
+def test_flat_regs_roundtrip_and_equality(setup):
+    """FlatRegs (the planner->emit flat-array path) must reproduce the
+    object path exactly: pestat bounds, emitted SAM, and the lazy
+    AlnReg view."""
+    from tpubwa.host.native_emit import FlatRegs
+    from tpubwa.host.pair import pestat
+    fmi, codes, rng = setup
+    opt = MemOpt(flag=MEM_F_PE)
+    mat = opt.scoring_matrix()
+    reads = _pairs(codes, rng, 40, corrupt_every=7)
+    all_regs = align_phase(opt, fmi, reads, mat)
+    flat = FlatRegs.from_lists(all_regs)
+    # lazy view reproduces the objects field-for-field
+    for i in range(len(all_regs)):
+        got, want = flat[i], all_regs[i]
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert (g.rb, g.re, g.qb, g.qe, g.rid, g.score, g.sub,
+                    g.secondary, g.frac_rep) == \
+                   (w.rb, w.re, w.qb, w.qe, w.rid, w.score, w.sub,
+                    w.secondary, w.frac_rep)
+    # pestat over FlatRegs == pestat over objects
+    pf = pestat(opt, fmi.bnt.l_pac, flat)
+    po = pestat(opt, fmi.bnt.l_pac, all_regs)
+    for a, b in zip(pf, po):
+        assert (a.failed, a.low, a.high, a.avg, a.std) == \
+               (b.failed, b.low, b.high, b.avg, b.std)
+    # native emit from FlatRegs == native emit from objects
+    got = emit_batch_native(opt, fmi, reads, flat, 0, "", pf)
+    want = emit_batch_native(opt, fmi, reads, all_regs, 0, "", po)
+    assert got is not None and got == want
+    # concat splits cleanly
+    half = len(all_regs) // 2
+    f2 = FlatRegs.concat([FlatRegs.from_lists(all_regs[:half]),
+                          FlatRegs.from_lists(all_regs[half:])])
+    assert (f2.cnt == flat.cnt).all() and (f2.iv == flat.iv).all()

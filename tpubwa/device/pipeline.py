@@ -221,12 +221,15 @@ class DeviceAligner:
 
             planned = plan_batch_native(
                 opt, fmi, chunk, intv_rows, positions, extend_fn,
-                qmax=self.extender.qmax, tmax=self.extender.tmax)
+                qmax=self.extender.qmax, tmax=self.extender.tmax,
+                flat=True)
             if planned is not None:
-                regs_lists, n_waves, n_jobs = planned
+                # FlatRegs: the planner's arrays flow straight into
+                # pestat/native-emit without AlnReg materialization
+                regs_flat, n_waves, n_jobs = planned
                 self.extender.n_waves += n_waves
                 self.extender.n_jobs += n_jobs
-                return regs_lists
+                return regs_flat
         # chain stage: native C++ when available (byte-equal; see
         # tests/test_native_emit.py::test_chain_batch_equality)
         from ..host.native_emit import chain_batch_native
@@ -288,7 +291,6 @@ class DeviceAligner:
                     for i, r in enumerate(reads)]
         ch = self.chunk_reads
         chunks = [reads[s:s + ch] for s in range(0, len(reads), ch)]
-        out: List[List[AlnReg]] = []
         if len(chunks) == 1:
             rows, positions, qd = self._seed_chunk(chunks[0])
             return self._chunk_regs(chunks[0], rows, positions, qd)
@@ -296,14 +298,21 @@ class DeviceAligner:
         # main thread chains/extends/posts chunk i (device transfers
         # release the GIL, so host work genuinely overlaps)
         from concurrent.futures import ThreadPoolExecutor
+        parts = []
         with ThreadPoolExecutor(max_workers=1) as ex:
             fut = ex.submit(self._seed_chunk, chunks[0])
             for i, chunk in enumerate(chunks):
                 rows, positions, qd = fut.result()
                 if i + 1 < len(chunks):
                     fut = ex.submit(self._seed_chunk, chunks[i + 1])
-                out.extend(self._chunk_regs(chunk, rows, positions,
-                                            qd))
+                parts.append(self._chunk_regs(chunk, rows, positions,
+                                              qd))
+        from ..host.native_emit import FlatRegs
+        if all(isinstance(p, FlatRegs) for p in parts):
+            return FlatRegs.concat(parts)
+        out: List[List[AlnReg]] = []
+        for p in parts:
+            out.extend(list(p) if isinstance(p, FlatRegs) else p)
         return out
 
     def __call__(self, reads: Sequence[Read]) -> List[List[AlnReg]]:

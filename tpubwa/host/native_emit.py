@@ -72,6 +72,72 @@ def _bnt_cache(bnt) -> _BntCache:
     return c
 
 
+class FlatRegs:
+    """Per-chunk alignment regions kept as the flat native ABI arrays
+    (cnt int32[n_reads], iv int64[tot, 18] in _REG_FIELDS order,
+    fr float64[tot]) end-to-end: the native planner emits them and the
+    native emitter consumes them without ever materializing AlnReg
+    objects.  Duck-types as a sequence of per-read AlnReg lists
+    (lazy, for the Python fallbacks and tests); the hot paths
+    (pestat, emit_batch_native) take the arrays directly."""
+
+    __slots__ = ("cnt", "iv", "fr", "off")
+
+    def __init__(self, cnt, iv, fr):
+        self.cnt = np.asarray(cnt, np.int32)
+        self.iv = np.asarray(iv, np.int64).reshape(-1, len(_REG_FIELDS))
+        self.fr = np.asarray(fr, np.float64)
+        self.off = np.zeros(len(self.cnt) + 1, np.int64)
+        np.cumsum(self.cnt, out=self.off[1:])
+
+    def __len__(self):
+        return len(self.cnt)
+
+    def rows(self, i):
+        """(iv rows, fr rows) of read i — no object construction."""
+        s, e = self.off[i], self.off[i + 1]
+        return self.iv[s:e], self.fr[s:e]
+
+    def __getitem__(self, i):
+        from .regions import AlnReg
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        if i < 0:
+            i += len(self)
+        if not 0 <= i < len(self):
+            raise IndexError(i)
+        rows, frs = self.rows(i)
+        return [AlnReg(**{name: int(p[f]) for f, name in
+                          enumerate(_REG_FIELDS)},
+                       frac_rep=float(frs[k]))
+                for k, p in enumerate(rows)]
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    @classmethod
+    def from_lists(cls, all_regs) -> "FlatRegs":
+        cnt = np.asarray([len(rs) for rs in all_regs], np.int32)
+        tot = int(cnt.sum())
+        iv = np.zeros((tot, len(_REG_FIELDS)), np.int64)
+        fr = np.zeros(tot, np.float64)
+        k = 0
+        for rs in all_regs:
+            for r in rs:
+                for f, name in enumerate(_REG_FIELDS):
+                    iv[k, f] = getattr(r, name)
+                fr[k] = r.frac_rep
+                k += 1
+        return cls(cnt, iv, fr)
+
+    @classmethod
+    def concat(cls, parts: Sequence["FlatRegs"]) -> "FlatRegs":
+        return cls(np.concatenate([p.cnt for p in parts]),
+                   np.concatenate([p.iv for p in parts]),
+                   np.concatenate([p.fr for p in parts]))
+
+
 def emit_batch_native(opt: MemOpt, fmi, reads: Sequence,
                       all_regs, n_processed: int, rg_id: str,
                       pes) -> Optional[List[str]]:
@@ -104,17 +170,27 @@ def emit_batch_native(opt: MemOpt, fmi, reads: Sequence,
     comm_blob, comm_off = _blob(
         [(getattr(r, "comment", "") or "").encode() for r in reads])
 
-    reg_cnt = np.asarray([len(rs) for rs in all_regs], np.int32)
-    tot = int(reg_cnt.sum())
-    reg_iv = np.zeros((max(tot, 1), len(_REG_FIELDS)), np.int64)
-    reg_fr = np.zeros(max(tot, 1), np.float64)
-    k = 0
-    for rs in all_regs:
-        for r in rs:
-            for f, name in enumerate(_REG_FIELDS):
-                reg_iv[k, f] = getattr(r, name)
-            reg_fr[k] = r.frac_rep
-            k += 1
+    if isinstance(all_regs, FlatRegs):
+        # the planner's arrays pass straight through — no object
+        # round-trip on the hot path
+        reg_cnt = all_regs.cnt
+        reg_iv = np.ascontiguousarray(all_regs.iv, np.int64)
+        reg_fr = np.ascontiguousarray(all_regs.fr, np.float64)
+        if not len(reg_iv):
+            reg_iv = np.zeros((1, len(_REG_FIELDS)), np.int64)
+            reg_fr = np.zeros(1, np.float64)
+    else:
+        reg_cnt = np.asarray([len(rs) for rs in all_regs], np.int32)
+        tot = int(reg_cnt.sum())
+        reg_iv = np.zeros((max(tot, 1), len(_REG_FIELDS)), np.int64)
+        reg_fr = np.zeros(max(tot, 1), np.float64)
+        k = 0
+        for rs in all_regs:
+            for r in rs:
+                for f, name in enumerate(_REG_FIELDS):
+                    reg_iv[k, f] = getattr(r, name)
+                reg_fr[k] = r.frac_rep
+                k += 1
 
     pes_iv = np.zeros(12, np.int64)
     pes_dv = np.zeros(8, np.float64)
@@ -215,11 +291,12 @@ def _flat_intv_pos(reads, intv_rows, positions):
 
 def plan_batch_native(opt: MemOpt, fmi, reads: Sequence, intv_rows,
                       positions, extend_fn, qmax: int = 255,
-                      tmax: int = 512):
+                      tmax: int = 512, flat: bool = False):
     """Native chain + extension planning + region post for a chunk
     (bwacore.cpp planner).  extend_fn(desc [n, 11] int64) -> int32
-    [n, 16] runs one device wave.  Returns per-read lists of AlnReg,
-    or None when the native path is unavailable."""
+    [n, 16] runs one device wave.  Returns per-read lists of AlnReg
+    (or a FlatRegs view of the same arrays when flat=True), or None
+    when the native path is unavailable."""
     import os
     if os.environ.get("TPUBWA_NO_NATIVE_PLAN"):
         return None
@@ -332,6 +409,10 @@ def plan_batch_native(opt: MemOpt, fmi, reads: Sequence, intv_rows,
             rcap = -total
     finally:
         lib.tpubwa_plan_free(h)
+    if flat:
+        total = int(reg_cnt.sum())
+        return (FlatRegs(reg_cnt, reg_iv[:total], reg_fr[:total]),
+                n_waves, n_jobs)
     out: List[list] = []
     k = 0
     for ri in range(len(reads)):

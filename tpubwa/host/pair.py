@@ -54,11 +54,55 @@ def _cal_sub(opt: MemOpt, regs: List[AlnReg]) -> int:
     return regs[j].score if j < len(regs) else opt.min_seed_len * opt.a
 
 
+def _cal_sub_rows(opt: MemOpt, iv) -> int:
+    """_cal_sub over flat int64 [n, 18] rows (native_emit._REG_FIELDS
+    order: qb=2, qe=3, score=5) — no AlnReg construction."""
+    n = len(iv)
+    qb0, qe0 = int(iv[0, 2]), int(iv[0, 3])
+    j = 1
+    while j < n:
+        b_max = max(int(iv[j, 2]), qb0)
+        e_min = min(int(iv[j, 3]), qe0)
+        if e_min > b_max:
+            min_l = min(int(iv[j, 3]) - int(iv[j, 2]), qe0 - qb0)
+            if e_min - b_max >= min_l * opt.mask_level:
+                break
+        j += 1
+    return int(iv[j, 5]) if j < n else opt.min_seed_len * opt.a
+
+
+def _pestat_isize_flat(opt: MemOpt, l_pac: int, flat) -> list:
+    """Insert-size collection over a FlatRegs chunk (same semantics
+    as the object loop below; rb=0, rid=4, score=5)."""
+    isize = [[], [], [], []]
+    n = len(flat)
+    for i in range(n >> 1):
+        iv0, _ = flat.rows(i << 1)
+        iv1, _ = flat.rows(i << 1 | 1)
+        if not len(iv0) or not len(iv1):
+            continue
+        if _cal_sub_rows(opt, iv0) > MIN_RATIO * int(iv0[0, 5]):
+            continue
+        if _cal_sub_rows(opt, iv1) > MIN_RATIO * int(iv1[0, 5]):
+            continue
+        if iv0[0, 4] != iv1[0, 4]:
+            continue
+        d, dist = infer_dir(l_pac, int(iv0[0, 0]), int(iv1[0, 0]))
+        if dist and dist <= opt.max_ins:
+            isize[d].append(dist)
+    return isize
+
+
 def pestat(opt: MemOpt, l_pac: int,
            all_regs: Sequence[List[AlnReg]]) -> List[PEStat]:
     """mem_pestat: batch-global insert-size inference per orientation."""
-    isize = [[], [], [], []]
-    n = len(all_regs)
+    from .native_emit import FlatRegs
+    if isinstance(all_regs, FlatRegs):
+        isize = _pestat_isize_flat(opt, l_pac, all_regs)
+        n = 0
+    else:
+        isize = [[], [], [], []]
+        n = len(all_regs)
     for i in range(n >> 1):
         r0 = all_regs[i << 1]
         r1 = all_regs[i << 1 | 1]
