@@ -300,3 +300,44 @@ def test_megaq_emission_cap_retry(setup, monkeypatch):
         gk = sorted((int(x[3]), int(x[4]), int(x[2]), int(x[0]),
                      int(x[1])) for x in got[i])
         assert gk == wk, f"read {i}"
+
+
+def test_megaq_round_cap_retry(setup, monkeypatch):
+    """A tiny backward round cap forces hung/unserved queue flags;
+    flagged reads must retry (deep machine or scalar) with output
+    unchanged."""
+    monkeypatch.setenv("TPUBWA_RB_CAP", "6")
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    opt = MemOpt()
+    reads = [text[i * 89:i * 89 + 100].copy() for i in range(6)]
+    reads.append(np.tile(unit, 3)[:100].copy())
+    arr, lens = _pack_reads(reads, 100)
+    got = collect_intv_device(opt, didx, arr, lens, fmi=fmi,
+                              mode="megaq")
+    for i, r in enumerate(reads):
+        want = collect_intv(opt, fmi, r)
+        wk = sorted((m.qb, m.qe, m.size, m.x0, m.x1) for m in want)
+        gk = sorted((int(x[3]), int(x[4]), int(x[2]), int(x[0]),
+                     int(x[1])) for x in got[i])
+        assert gk == wk, f"read {i}"
+
+
+def test_megaq_mlx2(setup, monkeypatch):
+    """TPUBWA_QB_MLX=2 (twice the machine lanes in the queue bwd
+    phase) must not change output."""
+    monkeypatch.setenv("TPUBWA_QB_MLX", "2")
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    opt = MemOpt()
+    reads = [text[i * 97:i * 97 + 100].copy() for i in range(5)]
+    reads.append(np.tile(unit, 3)[:100].copy())
+    arr, lens = _pack_reads(reads, 100)
+    got = collect_intv_device(opt, didx, arr, lens, fmi=fmi,
+                              mode="megaq")
+    for i, r in enumerate(reads):
+        want = collect_intv(opt, fmi, r)
+        wk = sorted((m.qb, m.qe, m.size, m.x0, m.x1) for m in want)
+        gk = sorted((int(x[3]), int(x[4]), int(x[2]), int(x[0]),
+                     int(x[1])) for x in got[i])
+        assert gk == wk, f"read {i}"
