@@ -341,3 +341,23 @@ def test_megaq_mlx2(setup, monkeypatch):
         gk = sorted((int(x[3]), int(x[4]), int(x[2]), int(x[0]),
                      int(x[1])) for x in got[i])
         assert gk == wk, f"read {i}"
+
+
+def test_megaq_p2_small_stack(setup, monkeypatch):
+    """TPUBWA_QB_P2=2 (tiny round-2 stack) overflows many reseed
+    lanes into the deep retry; output must not change."""
+    monkeypatch.setenv("TPUBWA_QB_P2", "2")
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    opt = MemOpt()
+    reads = [text[i * 93:i * 93 + 100].copy() for i in range(5)]
+    reads.append(np.tile(unit, 3)[:100].copy())
+    arr, lens = _pack_reads(reads, 100)
+    got = collect_intv_device(opt, didx, arr, lens, fmi=fmi,
+                              mode="megaq")
+    for i, r in enumerate(reads):
+        want = collect_intv(opt, fmi, r)
+        wk = sorted((m.qb, m.qe, m.size, m.x0, m.x1) for m in want)
+        gk = sorted((int(x[3]), int(x[4]), int(x[2]), int(x[0]),
+                     int(x[1])) for x in got[i])
+        assert gk == wk, f"read {i}"

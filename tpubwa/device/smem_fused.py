@@ -702,16 +702,17 @@ def smem_chunk_machine(didx: DeviceIndex, q: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("P", "MAXC", "CAPF", "J2",
-                                   "CAPF2", "MLX", "min_seed_len",
-                                   "split_len", "split_width",
-                                   "max_rounds_f", "max_rounds_b"))
+                                   "CAPF2", "MLX", "P2",
+                                   "min_seed_len", "split_len",
+                                   "split_width", "max_rounds_f",
+                                   "max_rounds_b"))
 def smem_chunk_machine_q(didx: DeviceIndex, q: jnp.ndarray,
                          lens: jnp.ndarray, jobs: jnp.ndarray,
                          P: int, MAXC: int, CAPF: int,
                          J2: int, CAPF2: int, MLX: int,
                          min_seed_len: int, split_len: int,
                          split_width: int, max_rounds_f: int = 2048,
-                         max_rounds_b: int = 1024):
+                         max_rounds_b: int = 1024, P2: int = 0):
     """Two-round seeding machine with QUEUE-scheduled backward phases
     (see `_bwd_phase_queue`; forward phases and on-device round-2 job
     construction as `smem_chunk_machine`).  Round-2 jobs are built
@@ -766,9 +767,12 @@ def smem_chunk_machine_q(didx: DeviceIndex, q: jnp.ndarray,
     mi2 = jmi2[:J2]
     # ---- round 2 (one-shot calls, MAXC = 1; queue-scheduled fwd on
     # ML lanes — 2/3 of the J2 lockstep slots would be dead lanes
-    # still paying gathers every round)
+    # still paying gathers every round).  P2 < P shrinks the round-2
+    # stack: reseeds start at min_intv = occ+1, so few size changes
+    # survive — overflow lanes retry on the deep machine as usual.
+    Pr2 = P2 if P2 > 0 else P
     outA2 = _fwd_phase_queue1(didx, q, lens, read2, x2, mi2,
-                              jnp.minimum(j2n, J2), P, ML,
+                              jnp.minimum(j2n, J2), Pr2, ML,
                               max_rounds_f)
     fovf2 = outA2["ovf_s"] | outA2["ovf_c"]
     nc2 = jnp.where(fovf2, 0, outA2["call"])
@@ -779,7 +783,7 @@ def smem_chunk_machine_q(didx: DeviceIndex, q: jnp.ndarray,
     outB2 = _bwd_phase_queue(didx, q, lens, read2, nc2,
                              outA2["meta"][:, :, 0],
                              outA2["meta"][:, :, 1], outA2["snap"],
-                             mi2, P, 1, CAP2, ML, min_seed_len,
+                             mi2, Pr2, 1, CAP2, ML, min_seed_len,
                              max_rounds_b)
     ovf2 = fovf2 | outB2["ovf"]
     return jnp.concatenate(
@@ -972,7 +976,7 @@ def dispatch_chunk_machine_q(didx, qd, ld, read, x0, min_intv,
                              one_shot, P, MAXC, CAPF, CAPF2,
                              min_seed_len, split_len, split_width,
                              put=jnp.asarray, max_rounds_b=1024,
-                             MLX=1):
+                             MLX=1, P2=0):
     """Pad lanes to pow2 and dispatch the queue-scheduled two-round
     chunk machine (async)."""
     n = len(read)
@@ -991,7 +995,8 @@ def dispatch_chunk_machine_q(didx, qd, ld, read, x0, min_intv,
                                CAPF, J2, CAPF2, int(MLX),
                                int(min_seed_len), int(split_len),
                                int(split_width),
-                               max_rounds_b=int(max_rounds_b))
+                               max_rounds_b=int(max_rounds_b),
+                               P2=int(P2))
     return buf, mpad, n, J2, CAPF, CAPF2
 
 
@@ -1048,6 +1053,7 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
     import os as _os
     RB_CAP = int(_os.environ.get("TPUBWA_RB_CAP", 1024))
     MLX = int(_os.environ.get("TPUBWA_QB_MLX", 1))
+    QB_P2 = int(_os.environ.get("TPUBWA_QB_P2", 0))
 
     def mirror_jobs(rows, rids, osh_rows):
         """Mirror the device's round-2 job construction: filter the
@@ -1068,7 +1074,7 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
             np.zeros(e - s, np.int32), np.ones(e - s, npdt),
             np.zeros(e - s, bool), P, MAXC, 5, 1,
             opt.min_seed_len, split_len, opt.split_width, put=put,
-            max_rounds_b=RB_CAP, MLX=MLX)))
+            max_rounds_b=RB_CAP, MLX=MLX, P2=QB_P2)))
     rows_out, rids_out, tail_jobs = [], [], []
     for s, h in handles:
         (rows1, lane1, ovf1, rows2, lane2, ovf2,
