@@ -115,6 +115,8 @@ def main():
     wrap(sf, "run_call_machine", "    call-machine(sync)")
     wrap(sf, "rounds12_mega", "  rounds12-mega")
     wrap(sf, "decode_chunk_machine", "    mega-decode(sync)")
+    wrap(sf, "rounds12_megaq", "  rounds12-megaq")
+    wrap(sf, "decode_chunk_machine_q", "    megaq-decode(sync)")
     import tpubwa.host.native_emit as ne
     wrap(ne, "chain_batch_native", "  chain-native")
     import tpubwa.device.extend_fused as ef
@@ -148,7 +150,7 @@ def main():
     ext = aligner.extender
     print(f"[prof]   waves={ext.n_waves} jobs={ext.n_jobs} "
           f"fallback={ext.n_fallback}", file=sys.stderr)
-    for kind in ("fwd", "bwd", "call", "mega"):
+    for kind in ("fwd", "bwd", "call", "mega", "megaq"):
         ms = [s for s in ss.SEED_STATS if s[0] == kind]
         if not ms:
             continue
@@ -164,7 +166,7 @@ def main():
               f"{lanes} lanes ({live} live), {rnds} total rounds "
               f"(mean {rnds / len(ms):.0f}), "
               f"{cause[0]}={a} {cause[1]}={b}", file=sys.stderr)
-        if kind in ("call", "mega") and len(ms[0]) > 8:
+        if kind in ("call", "mega", "megaq") and len(ms[0]) > 8:
             rf = sum(m[6] for m in ms)
             rb = sum(m[7] for m in ms)
             sw = sum(m[8] for m in ms)
