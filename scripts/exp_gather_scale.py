@@ -62,8 +62,11 @@ def main():
         idx = jnp.asarray(
             rng.integers(0, rows, args.lanes, dtype=np.int32))
         # block_until_ready does not block on the axon backend
-        # (docs/PERF_NOTES.md) -- force sync with a D2H of the scalar
+        # (docs/PERF_NOTES.md) -- force sync with a D2H of the scalar.
+        # Warm BOTH programs (reps is static -> two distinct XLA
+        # programs) so the timed windows exclude compilation.
         np.asarray(chained_gather(table, idx, 2))
+        np.asarray(chained_gather(table, idx, args.reps + 2))
         # timed: reps+2 vs 2 to cancel fixed costs
         t0 = time.perf_counter()
         np.asarray(chained_gather(table, idx, 2))

@@ -161,6 +161,7 @@ def main():
         b = sum(m[5] for m in ms)
         cause = ("stack-ovf", "call-ovf") if kind == "fwd" \
             else ("redo", "spill") if kind == "bwd" \
+            else ("r1-ovf", "r2-ovf") if kind == "megaq" \
             else ("ovf", "spill")
         print(f"[prof]   {kind}-machines: {len(ms)} dispatches, "
               f"{lanes} lanes ({live} live), {rnds} total rounds "

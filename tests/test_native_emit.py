@@ -229,4 +229,5 @@ def test_flat_regs_roundtrip_and_equality(setup):
     half = len(all_regs) // 2
     f2 = FlatRegs.concat([FlatRegs.from_lists(all_regs[:half]),
                           FlatRegs.from_lists(all_regs[half:])])
-    assert (f2.cnt == flat.cnt).all() and (f2.iv == flat.iv).all()
+    assert (f2.cnt == flat.cnt).all() and (f2.iv == flat.iv).all() \
+        and (f2.fr == flat.fr).all()

@@ -276,7 +276,6 @@ def _fwd_phase_queue1(didx: DeviceIndex, q, lens, read, x0j, min_intv,
     dt = didx.idt
     NJ = read.shape[0]
     L = q.shape[1]
-    jidx = jnp.arange(P, dtype=I32)
 
     st0 = dict(
         qhead=jnp.zeros((), I32),
@@ -972,6 +971,50 @@ def decode_chunk_machine(handle, CAPF, CAPF2):
             eff2[:j2n], ovf2[:j2n], j2n, j2n_dev > J2)
 
 
+def _r2_jobs_from(opt, split_len, npdt, rows, rids,
+                  osh_rows=None):
+    """Round-2 reseed jobs (bwamem.c:mem_collect_intv second pass):
+    long low-occ SMEMs re-seed from their midpoint, one-shot, with
+    min_intv = occ + 1.  THE host mirror of the device-side job
+    builders — every rounds12_* driver must use this single
+    definition or the host/device job-list parity breaks silently
+    (the count check cannot catch same-count divergence)."""
+    jsel = ((rows[:, 4] - rows[:, 3] >= split_len)
+            & (rows[:, 2] <= opt.split_width))
+    if osh_rows is not None:
+        jsel &= ~osh_rows
+    rid = rids[jsel].astype(np.int32)
+    jx = ((rows[jsel, 3] + rows[jsel, 4]) >> 1).astype(np.int32)
+    jmi = (rows[jsel, 2] + 1).astype(npdt)
+    return rid, jx, jmi
+
+
+def _scalar_full(opt, fmi, reads, lens_np, split_len, npdt, jobs,
+                 rows_out, rids_out):
+    """Terminal scalar fallback: one-shot jobs reseed directly; full-
+    protocol jobs run round 1 plus ALL of their round-2 reseeds."""
+    from .smem import _scalar_reseed, _scalar_round1
+    for (ri, x, mi, osh) in jobs:
+        if osh:
+            rows = _scalar_reseed(opt, fmi, reads[ri],
+                                  int(lens_np[ri]), x, mi)
+            rows_out.append(rows)
+            rids_out.append(np.full(len(rows), ri, np.int64))
+            continue
+        rows = _scalar_round1(opt, fmi, reads[ri], int(lens_np[ri]))
+        rows_out.append(rows)
+        rids_out.append(np.full(len(rows), ri, np.int64))
+        rrid = np.full(len(rows), ri, np.int64)
+        rid_, jx_, jmi_ = _r2_jobs_from(opt, split_len, npdt, rows,
+                                        rrid)
+        for k in range(len(rid_)):
+            rr = _scalar_reseed(opt, fmi, reads[int(rid_[k])],
+                                int(lens_np[int(rid_[k])]),
+                                int(jx_[k]), int(jmi_[k]))
+            rows_out.append(rr)
+            rids_out.append(np.full(len(rr), int(rid_[k]), np.int64))
+
+
 def dispatch_chunk_machine_q(didx, qd, ld, read, x0, min_intv,
                              one_shot, P, MAXC, CAPF, CAPF2,
                              min_seed_len, split_len, split_width,
@@ -1055,17 +1098,6 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
     MLX = int(_os.environ.get("TPUBWA_QB_MLX", 1))
     QB_P2 = int(_os.environ.get("TPUBWA_QB_P2", 0))
 
-    def mirror_jobs(rows, rids, osh_rows):
-        """Mirror the device's round-2 job construction: filter the
-        kept rows in buffer order."""
-        jsel = (~osh_rows
-                & (rows[:, 4] - rows[:, 3] >= split_len)
-                & (rows[:, 2] <= opt.split_width))
-        rid = rids[jsel].astype(np.int32)
-        jx = ((rows[jsel, 3] + rows[jsel, 4]) >> 1).astype(np.int32)
-        jmi = (rows[jsel, 2] + 1).astype(npdt)
-        return rid, jx, jmi
-
     handles = []
     for s in range(0, B, MACH):
         e = min(s + MACH, B)
@@ -1084,8 +1116,8 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         rids_out.append(rids1)
         tail_jobs += [(int(ri) + s, 0, 1, False)
                       for ri in np.flatnonzero(ovf1)]
-        rid2, jx2, jmi2 = mirror_jobs(rows1, rids1,
-                                      np.zeros(len(rows1), bool))
+        rid2, jx2, jmi2 = _r2_jobs_from(opt, split_len, npdt, rows1,
+                                        rids1)
         J2 = h[3]
         if len(rid2) != j2n_dev:
             import logging
@@ -1120,30 +1152,11 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         rids_out.append(rids1)
 
         def scalar_full(jobs):
-            from .smem import _scalar_reseed, _scalar_round1
-            for (ri, x, mi, osh) in jobs:
-                if osh:
-                    rows = _scalar_reseed(opt, fmi, reads[ri],
-                                          int(lens_np[ri]), x, mi)
-                    rows_out.append(rows)
-                    rids_out.append(np.full(len(rows), ri, np.int64))
-                    continue
-                rows = _scalar_round1(opt, fmi, reads[ri],
-                                      int(lens_np[ri]))
-                rows_out.append(rows)
-                rids_out.append(np.full(len(rows), ri, np.int64))
-                rrid = np.full(len(rows), ri, np.int64)
-                rid_, jx_, jmi_ = mirror_jobs(
-                    rows, rrid, np.zeros(len(rows), bool))
-                for k in range(len(rid_)):
-                    rr = _scalar_reseed(opt, fmi, reads[int(rid_[k])],
-                                        int(lens_np[int(rid_[k])]),
-                                        int(jx_[k]), int(jmi_[k]))
-                    rows_out.append(rr)
-                    rids_out.append(np.full(len(rr), int(rid_[k]),
-                                            np.int64))
+            _scalar_full(opt, fmi, reads, lens_np, split_len, npdt,
+                         jobs, rows_out, rids_out)
         scalar_full([tail_jobs[k] for k in np.flatnonzero(ovf1)])
-        rrid, rjx, rjmi = mirror_jobs(rows1, rids1, josh[lane1])
+        rrid, rjx, rjmi = _r2_jobs_from(opt, split_len, npdt, rows1,
+                                        rids1, josh[lane1])
         J2t = h[3]
         if len(rrid) != j2n_dev:
             import logging
@@ -1189,25 +1202,8 @@ def rounds12_mega(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
     import os as _os
     RB_CAP = int(_os.environ.get("TPUBWA_RB_CAP", 1024))
 
-    def run_scalar(jobs, rows_out, rids_out):
-        from .smem import _scalar_reseed, _scalar_round1
-        for (ri, x, mi, osh) in jobs:
-            if osh:
-                rows = _scalar_reseed(opt, fmi, reads[ri],
-                                      int(lens_np[ri]), x, mi)
-            else:
-                rows = _scalar_round1(opt, fmi, reads[ri],
-                                      int(lens_np[ri]))
-            rows_out.append(rows)
-            rids_out.append(np.full(len(rows), ri, np.int64))
-
     def r2_jobs_from(rows, rids):
-        jsel = ((rows[:, 4] - rows[:, 3] >= split_len)
-                & (rows[:, 2] <= opt.split_width))
-        rid = rids[jsel].astype(np.int32)
-        jx = ((rows[jsel, 3] + rows[jsel, 4]) >> 1).astype(np.int32)
-        jmi = (rows[jsel, 2] + 1).astype(npdt)
-        return rid, jx, jmi
+        return _r2_jobs_from(opt, split_len, npdt, rows, rids)
 
     handles = []
     for s in range(0, B, MACH):
@@ -1268,27 +1264,8 @@ def rounds12_mega(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         rids_out.append(rids1)
         # deep-machine overflow: fully scalar (round 1 + its reseeds)
         def scalar_full(jobs):
-            from .smem import _scalar_reseed, _scalar_round1
-            for (ri, x, mi, osh) in jobs:
-                if osh:
-                    rows = _scalar_reseed(opt, fmi, reads[ri],
-                                          int(lens_np[ri]), x, mi)
-                    rows_out.append(rows)
-                    rids_out.append(np.full(len(rows), ri, np.int64))
-                    continue
-                rows = _scalar_round1(opt, fmi, reads[ri],
-                                      int(lens_np[ri]))
-                rows_out.append(rows)
-                rids_out.append(np.full(len(rows), ri, np.int64))
-                rrid = np.full(len(rows), ri, np.int64)
-                rid_, jx_, jmi_ = r2_jobs_from(rows, rrid)
-                for k in range(len(rid_)):
-                    rr = _scalar_reseed(opt, fmi, reads[int(rid_[k])],
-                                        int(lens_np[int(rid_[k])]),
-                                        int(jx_[k]), int(jmi_[k]))
-                    rows_out.append(rr)
-                    rids_out.append(np.full(len(rr), int(rid_[k]),
-                                            np.int64))
+            _scalar_full(opt, fmi, reads, lens_np, split_len, npdt,
+                         jobs, rows_out, rids_out)
         scalar_full([tail_jobs[k] for k in np.flatnonzero(ovf1)])
         # mirror the device's reseed job list: rows of NON-one-shot,
         # non-overflow tail lanes, in lane-major slot order
@@ -1374,15 +1351,7 @@ def rounds12_fused(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
                    rows_out, rids_out)
 
     def r2_jobs_from(rows, rids):
-        """Round-2 reseed jobs (bwamem.c:mem_collect_intv second pass):
-        long low-occ SMEMs re-seed from their midpoint, one-shot, with
-        min_intv = occ + 1."""
-        jsel = ((rows[:, 4] - rows[:, 3] >= split_len)
-                & (rows[:, 2] <= opt.split_width))
-        rid = rids[jsel].astype(np.int32)
-        jx = ((rows[jsel, 3] + rows[jsel, 4]) >> 1).astype(np.int32)
-        jmi = (rows[jsel, 2] + 1).astype(npdt)
-        return rid, jx, jmi
+        return _r2_jobs_from(opt, split_len, npdt, rows, rids)
 
     # ---- round 1
     rows1, eff1, ovf1 = run_call_machine(
