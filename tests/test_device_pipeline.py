@@ -237,3 +237,41 @@ def test_spec_extension_equals_wave_loop(setup, monkeypatch):
     assert a2.extender.n_waves >= 1
     assert [_regs_key(r) for r in spec] == [_regs_key(r) for r in wave]
     assert sum(len(r) for r in spec) > 0
+
+
+def test_megaq_fused_sa_positions(setup, monkeypatch):
+    """megaq's machine-fused SA positions must equal the classic
+    host-built batched lookup row for row, including the spill-suffix
+    host fallback (tiny TPUBWA_SA_CAPF)."""
+    d, codes, prefix, fmi = setup
+    monkeypatch.setenv("TPUBWA_SEED_MODE", "megaq")
+    rng = np.random.default_rng(11)
+    opt = MemOpt()
+    aligner = make_device_aligner(opt, fmi, platform="cpu")
+    text = fmi.bnt.doubled()
+    reads = []
+    for i in range(12):
+        pos = int(rng.integers(0, 17000))
+        q = text[pos:pos + 100].copy()
+        mut = rng.random(100) < 0.02
+        q[mut] = (q[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        reads.append(Read(name=f"r{i}", seq=q, qual=None))
+    # repetitive read -> large-occ intervals
+    unit = text[12000:12040]
+    reads.append(Read(name="rep", seq=np.tile(unit, 3)[:100].copy(),
+                      qual=None))
+    for capf_env in (None, "1"):
+        if capf_env is not None:
+            monkeypatch.setenv("TPUBWA_SA_CAPF", capf_env)
+        intv, (pos, cnt), qd = aligner._seed_chunk(reads)
+        want_pos, want_cnt = aligner._sa_positions(intv)
+        assert np.array_equal(cnt, want_cnt)
+        assert np.array_equal(pos, want_pos), \
+            f"capf={capf_env}: fused SA != classic"
+    # regions equality through the fused path
+    monkeypatch.delenv("TPUBWA_SA_CAPF")
+    got = aligner(reads)
+    mat = opt.scoring_matrix()
+    for r, regs in zip(reads, list(got)):
+        want = align1_core(opt, fmi, r, mat)
+        assert _regs_key(regs) == _regs_key(want), r.name

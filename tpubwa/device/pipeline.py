@@ -168,6 +168,39 @@ class DeviceAligner:
         pos = np.asarray(sa_lookup(self.didx, self.put_sharded(arr)))
         return pos[:n].astype(np.int64), cnt
 
+    def _sa_merge(self, flat, sa_cnt, sa_pos):
+        """Assemble the chunk's SA positions from the machine-fused
+        segments (`_sa_from_rows`), computing only the -1 rows
+        (retry/scalar/spill/round-3 rows) via the classic batched
+        lookup.  Same contract as `_sa_positions`."""
+        if not len(flat):
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        size = flat[:, 2]
+        step = np.where(size > self.opt.max_occ,
+                        size // self.opt.max_occ, 1)
+        cnt = np.minimum((size + step - 1) // step, self.opt.max_occ)
+        have = sa_cnt >= 0
+        if have.any() and not np.array_equal(sa_cnt[have], cnt[have]):
+            # defensive: device arithmetic must mirror exactly
+            import logging
+            logging.getLogger("tpubwa").warning(
+                "fused SA count mismatch; recomputing on host")
+            return self._sa_positions((flat, None))
+        ends = np.cumsum(cnt)
+        pos_out = np.zeros(int(ends[-1]), np.int64)
+        from .smem_split import _row_offsets
+        if have.any():
+            dst = (np.repeat(ends[have] - cnt[have], cnt[have])
+                   + _row_offsets(cnt[have]))
+            pos_out[dst] = sa_pos
+        need = ~have
+        if need.any():
+            pos_h, _ = self._sa_positions((flat[need], None))
+            dst = (np.repeat(ends[need] - cnt[need], cnt[need])
+                   + _row_offsets(cnt[need]))
+            pos_out[dst] = pos_h
+        return pos_out, cnt
+
     # -------------------------------------------------------------
     def _seed_chunk(self, chunk: Sequence[Read]):
         """Device seeding + SA lookups for one chunk (runs on the
@@ -181,16 +214,18 @@ class DeviceAligner:
         while pad < len(chunk):
             pad <<= 1
         arr, lens = self._pack(chunk, pad)
-        flat, frid, qd = collect_intv_device(
+        flat, frid, qd, sa = collect_intv_device(
             self.opt, self.didx, arr, lens, fmi=self.fmi,
             put_sharded=self.put_sharded, put_repl=self.put_repl,
-            return_flat=True, return_qd=True)
+            return_flat=True, return_qd=True, return_sa=True)
         counts = np.bincount(frid, minlength=arr.shape[0])[:len(chunk)]
         intv = (flat, counts)
+        positions = (self._sa_merge(flat, *sa) if sa is not None
+                     else self._sa_positions(intv))
         # qd: the device-resident packed chunk reads — _chunk_regs
         # reuses it for descriptor-mode extension instead of packing
         # and uploading the same ~1 MB again
-        return intv, self._sa_positions(intv), qd
+        return intv, positions, qd
 
     def _chunk_regs(self, chunk, intv_rows, positions, qd=None):
         """Host chaining + device extension waves + region post for one

@@ -349,6 +349,20 @@ def _scalar_reseed(opt, fmi, read_row, l_seq, x, min_intv):
         np.int64).reshape(-1, 5)
 
 
+def _permute_segments(cnt, pos, order):
+    """Reorder per-row position segments by a row permutation.
+    cnt [R] (-1 = no device segment), pos = concatenated segments in
+    pre-permutation row order.  Returns (cnt[order], pos reordered)."""
+    from .smem_split import _row_offsets
+    cntc = np.maximum(cnt, 0)
+    off = np.zeros(len(cnt) + 1, np.int64)
+    np.cumsum(cntc, out=off[1:])
+    c2 = cnt[order]
+    c2c = np.maximum(c2, 0)
+    sel = np.repeat(off[:-1][order], c2c) + _row_offsets(c2c)
+    return c2, pos[sel]
+
+
 def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                         lens: np.ndarray, fmi=None,
                         use_cursor: bool = True,
@@ -356,7 +370,8 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                         put_sharded=None,
                         put_repl=None,
                         return_flat: bool = False,
-                        return_qd: bool = False) -> List[np.ndarray]:
+                        return_qd: bool = False,
+                        return_sa: bool = False) -> List[np.ndarray]:
     """Full 3-round mem_collect_intv for a batch, device-accelerated.
     Returns per-read [n, 5] int64 (x0, x1, size, qb, qe) sorted by
     (qb, qe) — the contract of ref.smem.collect_intv.
@@ -405,12 +420,14 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                                        int(opt.max_mem_intv))
     blocks = []
     rids = []
+    sa_cnt12 = sa_pos12 = None
     if use_cursor:
         if mode == "megaq":
             from .smem_fused import rounds12_megaq
-            rows12, rids12 = rounds12_megaq(opt, didx, qd, ld,
-                                            lens_np, reads, split_len,
-                                            fmi, put=put_sharded)
+            (rows12, rids12, sa_cnt12,
+             sa_pos12) = rounds12_megaq(opt, didx, qd, ld,
+                                        lens_np, reads, split_len,
+                                        fmi, put=put_sharded)
         elif mode == "mega":
             from .smem_fused import rounds12_mega
             rows12, rids12 = rounds12_mega(opt, didx, qd, ld, lens_np,
@@ -467,6 +484,11 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     if not blocks:
         empty = np.zeros((0, 5), np.int64), np.zeros(0, np.int64)
         if return_flat:
+            if return_sa:
+                sa = (np.zeros(0, np.int64), np.zeros(0, np.int64)) \
+                    if sa_cnt12 is not None else None
+                return ((*empty, qd, sa) if return_qd
+                        else (*empty, sa))
             return (*empty, qd) if return_qd else empty
         return [np.zeros((0, 5), np.int64) for _ in range(B)]
     flat = np.concatenate(blocks)
@@ -479,6 +501,16 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
         # stage consume flat rows + read ids directly — no per-read
         # view lists on the single host core (return_qd: hand back the
         # device-resident read array so extension reuses the upload)
+        if return_sa:
+            sa = None
+            if sa_cnt12 is not None:
+                # rows beyond rounds 1-2 (round-3 scan, scalar paths)
+                # carry cnt -1: the SA stage computes those host-side
+                cnt_all = np.full(len(flat), -1, np.int64)
+                cnt_all[:len(sa_cnt12)] = sa_cnt12
+                sa = (*_permute_segments(cnt_all, sa_pos12, order),)
+            return ((flat, frid, qd, sa) if return_qd
+                    else (flat, frid, sa))
         return (flat, frid, qd) if return_qd else (flat, frid)
     counts = np.bincount(frid, minlength=B)
     return np.split(flat, np.cumsum(counts)[:-1])

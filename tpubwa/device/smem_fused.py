@@ -700,8 +700,42 @@ def smem_chunk_machine(didx: DeviceIndex, q: jnp.ndarray,
          outB2["rounds"].astype(dt)[None]])
 
 
+def _sa_from_rows(didx: DeviceIndex, rows, valid, max_occ: int,
+                  SCAP: int):
+    """SA positions for emission rows, on device (the bwa subsampling
+    protocol of device/pipeline.py:_sa_positions: step = occ/max_occ,
+    up to max_occ samples per interval).  rows [R, 6]; sample k of the
+    flat output belongs to the row found by searchsorted on the
+    cumulative counts.  Rows whose segment would cross SCAP form a
+    SUFFIX (the cumsum is monotone), get no device positions, and the
+    host computes them via the classic path — it mirrors the same
+    integer arithmetic to find the cut.  Returns positions [SCAP]."""
+    from .occ import sa_lookup
+    R = rows.shape[0]
+    size = jnp.where(valid, rows[:, 2].astype(I32), 0)
+    x0 = rows[:, 0].astype(didx.idt)
+    step = jnp.where(size > max_occ, size // max_occ, 1)
+    cnt = jnp.minimum((size + step - 1) // step, max_occ)
+    cnt = jnp.where(valid, cnt, 0)
+    ends = jnp.cumsum(cnt)
+    ok = ends <= SCAP
+    cnt_eff = jnp.where(ok, cnt, 0)
+    ends2 = jnp.cumsum(cnt_eff)
+    starts2 = ends2 - cnt_eff
+    total = ends2[-1]
+    kk = jnp.arange(SCAP, dtype=I32)
+    row_of = jnp.clip(jnp.searchsorted(ends2, kk, side="right"),
+                      0, R - 1).astype(I32)
+    ranks = (x0[row_of]
+             + (kk - starts2[row_of]).astype(didx.idt)
+             * step[row_of].astype(didx.idt))
+    ranks = jnp.where(kk < total, ranks, 0)
+    return sa_lookup(didx, ranks)
+
+
 @partial(jax.jit, static_argnames=("P", "MAXC", "CAPF", "J2",
-                                   "CAPF2", "MLX", "P2",
+                                   "CAPF2", "MLX", "P2", "SCAPF",
+                                   "max_occ",
                                    "min_seed_len", "split_len",
                                    "split_width", "max_rounds_f",
                                    "max_rounds_b"))
@@ -711,7 +745,8 @@ def smem_chunk_machine_q(didx: DeviceIndex, q: jnp.ndarray,
                          J2: int, CAPF2: int, MLX: int,
                          min_seed_len: int, split_len: int,
                          split_width: int, max_rounds_f: int = 2048,
-                         max_rounds_b: int = 1024, P2: int = 0):
+                         max_rounds_b: int = 1024, P2: int = 0,
+                         SCAPF: int = 0, max_occ: int = 500):
     """Two-round seeding machine with QUEUE-scheduled backward phases
     (see `_bwd_phase_queue`; forward phases and on-device round-2 job
     construction as `smem_chunk_machine`).  Round-2 jobs are built
@@ -719,8 +754,14 @@ def smem_chunk_machine_q(didx: DeviceIndex, q: jnp.ndarray,
     non-overflow, non-one-shot lanes — the host decode mirrors the
     identical filter to recover the job -> (read, x, mi) mapping.
 
+    SCAPF > 0 fuses the SA stage: subsampled SA positions for all
+    emission rows ([out1; out2] buffer order, `_sa_from_rows`) ride
+    the same dispatch — the seeding->SA host round trip (H2D ranks +
+    dispatch + sync, ~40-90 ms on this link) disappears.
+
     Returns flat idt:
       out1 [CAPF * N, 6] | ovf1 [N] | out2 [CAPF2 * J2, 6] | ovf2 [J2]
+      | sa_pos [SCAPF * N if SCAPF else 0]
       | out_n1 | out_n2 | j2n | rounds_f1 | rounds_b1 | rounds_f2
       | rounds_b2
     rows are (x0, x1, size, qb, qe, lane); j2n unclamped (> J2 means
@@ -785,15 +826,22 @@ def smem_chunk_machine_q(didx: DeviceIndex, q: jnp.ndarray,
                              mi2, Pr2, 1, CAP2, ML, min_seed_len,
                              max_rounds_b)
     ovf2 = fovf2 | outB2["ovf"]
-    return jnp.concatenate(
-        [outB["out"].reshape(-1), ovf1.astype(dt),
-         outB2["out"].reshape(-1), ovf2.astype(dt),
-         out_n1.astype(dt)[None], outB2["out_n"].astype(dt)[None],
-         j2n.astype(dt)[None],
-         outA["rounds"].astype(dt)[None],
-         outB["rounds"].astype(dt)[None],
-         outA2["rounds"].astype(dt)[None],
-         outB2["rounds"].astype(dt)[None]])
+    parts = [outB["out"].reshape(-1), ovf1.astype(dt),
+             outB2["out"].reshape(-1), ovf2.astype(dt)]
+    if SCAPF > 0:
+        rows_all = jnp.concatenate([out1, outB2["out"]], axis=0)
+        val = jnp.concatenate(
+            [pos < out_n1,
+             jnp.arange(CAP2, dtype=I32) < outB2["out_n"]])
+        parts.append(_sa_from_rows(didx, rows_all, val, max_occ,
+                                   SCAPF * N).astype(dt))
+    parts += [out_n1.astype(dt)[None], outB2["out_n"].astype(dt)[None],
+              j2n.astype(dt)[None],
+              outA["rounds"].astype(dt)[None],
+              outB["rounds"].astype(dt)[None],
+              outA2["rounds"].astype(dt)[None],
+              outB2["rounds"].astype(dt)[None]]
+    return jnp.concatenate(parts)
 
 
 MACH = 16384  # max lanes per machine dispatch.  8192-lane grouping of
@@ -1019,9 +1067,10 @@ def dispatch_chunk_machine_q(didx, qd, ld, read, x0, min_intv,
                              one_shot, P, MAXC, CAPF, CAPF2,
                              min_seed_len, split_len, split_width,
                              put=jnp.asarray, max_rounds_b=1024,
-                             MLX=1, P2=0):
+                             MLX=1, P2=0, SCAPF=0, max_occ=500):
     """Pad lanes to pow2 and dispatch the queue-scheduled two-round
-    chunk machine (async)."""
+    chunk machine (async).  SCAPF > 0 fuses the SA stage into the
+    same dispatch (see smem_chunk_machine_q)."""
     n = len(read)
     mpad = _pad_pow2(n)
     J2 = 2 * mpad
@@ -1039,8 +1088,22 @@ def dispatch_chunk_machine_q(didx, qd, ld, read, x0, min_intv,
                                int(min_seed_len), int(split_len),
                                int(split_width),
                                max_rounds_b=int(max_rounds_b),
-                               P2=int(P2))
-    return buf, mpad, n, J2, CAPF, CAPF2
+                               P2=int(P2), SCAPF=int(SCAPF),
+                               max_occ=int(max_occ))
+    return buf, mpad, n, J2, CAPF, CAPF2, SCAPF, max_occ
+
+
+def _sa_segments(rows_cat, sa_pos, SCAP, max_occ):
+    """Host mirror of `_sa_from_rows`: per raw row (r1 then r2
+    order), its sample count and device-position segment.  Returns
+    (cnt [R] — -1 for the spilled SUFFIX whose positions the host
+    must compute, starts [R])."""
+    size = rows_cat[:, 2]
+    step = np.where(size > max_occ, size // max_occ, 1)
+    cnt = np.minimum((size + step - 1) // step, max_occ)
+    ends = np.cumsum(cnt)
+    ok = ends <= SCAP
+    return np.where(ok, cnt, -1).astype(np.int64), ends - cnt
 
 
 def decode_chunk_machine_q(handle):
@@ -1049,13 +1112,16 @@ def decode_chunk_machine_q(handle):
     Returns (rows1 [k1, 5] int64, lane1 [k1] — per-row source lane
     (< n, buffer order, overflow lanes' rows already dropped);
     ovf1 [n]; rows2 [k2, 5], lane2 [k2] — round-2 job indices;
-    ovf2 [J2]; j2n_dev — device's unclamped round-2 job count)."""
+    ovf2 [J2]; j2n_dev — device's unclamped round-2 job count;
+    sa — None, or (cnt1 [k1], pos1, cnt2 [k2], pos2): per kept row
+    the device SA positions, cnt -1 where the host must compute)."""
     import time as _time
-    dbuf, mpad, n, J2, CAPF, CAPF2 = handle
+    dbuf, mpad, n, J2, CAPF, CAPF2, SCAPF, max_occ = handle
     t0 = _time.perf_counter()
     buf = np.asarray(dbuf)
     sync_s = _time.perf_counter() - t0
     cap1, cap2 = CAPF * mpad, CAPF2 * J2
+    scap = SCAPF * mpad
     off = 0
     out1 = buf[off:off + cap1 * 6].reshape(cap1, 6)
     off += cap1 * 6
@@ -1065,6 +1131,8 @@ def decode_chunk_machine_q(handle):
     off += cap2 * 6
     ovf2 = buf[off:off + J2] != 0
     off += J2
+    sa_pos = buf[off:off + scap].astype(np.int64)
+    off += scap
     (out_n1, out_n2, j2n_dev, rf1, rb1, rf2, rb2) = (
         int(v) for v in buf[off:off + 7])
     r1 = out1[:out_n1]
@@ -1073,20 +1141,46 @@ def decode_chunk_machine_q(handle):
     r2 = out2[:out_n2]
     lane2 = r2[:, 5].astype(np.int64)
     keep2 = ~ovf2[lane2]
+    sa = None
+    if SCAPF > 0:
+        rows_cat = np.vstack([r1[:, :5], r2[:, :5]]).astype(np.int64)
+        cnt, starts = _sa_segments(rows_cat, sa_pos, scap, max_occ)
+        from .smem_split import _row_offsets
+        cntc = np.maximum(cnt, 0)
+        sel = np.repeat(starts, cntc) + _row_offsets(cntc)
+        pos_cat = sa_pos[sel]
+        pos_off = np.zeros(len(cnt) + 1, np.int64)
+        np.cumsum(cntc, out=pos_off[1:])
+        k1 = out_n1
+
+        def split(lo, hi, keep):
+            c = cnt[lo:hi][keep]
+            po = pos_off[lo:hi][keep]
+            s2 = np.repeat(po, np.maximum(c, 0)) + _row_offsets(
+                np.maximum(c, 0))
+            return c, pos_cat[s2]
+        cnt1, pos1 = split(0, k1, keep1)
+        cnt2, pos2 = split(k1, k1 + out_n2, keep2)
+        sa = (cnt1, pos1, cnt2, pos2)
     SEED_STATS.append(("megaq", mpad + J2, n, rf1 + rb1 + rf2 + rb2,
                        int(np.count_nonzero(ovf1[:n])),
                        int(np.count_nonzero(ovf2)),
                        rf1 + rf2, rb1 + rb2, sync_s))
     return (r1[keep1, :5].astype(np.int64), lane1[keep1], ovf1[:n],
             r2[keep2, :5].astype(np.int64), lane2[keep2], ovf2,
-            j2n_dev)
+            j2n_dev, sa)
 
 
 def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
-                   put=jnp.asarray) -> Tuple[np.ndarray, np.ndarray]:
+                   put=jnp.asarray):
     """Rounds 1-2 of mem_collect_intv on the queue-scheduled mega
     machine: ONE dispatch per <= MACH reads plus one deep tail machine
-    for overflow lanes.  Same contract as rounds12_fused."""
+    for overflow lanes.  Returns (rows, rids, sa_cnt, sa_pos): the
+    rounds12_fused contract plus fused SA positions — sa_cnt[i] is
+    row i's bwa-protocol sample count with its positions in sa_pos
+    (row order), or -1 where the host must compute them (retry/scalar
+    rows, SA-buffer spill suffix).  sa_cnt/sa_pos are None when the
+    fusion is disabled (TPUBWA_NO_SA_FUSE)."""
     B = len(lens_np)
     npdt = didx.np_idt
     from .smem_split import _stack_P
@@ -1097,6 +1191,24 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
     RB_CAP = int(_os.environ.get("TPUBWA_RB_CAP", 1024))
     MLX = int(_os.environ.get("TPUBWA_QB_MLX", 1))
     QB_P2 = int(_os.environ.get("TPUBWA_QB_P2", 0))
+    SCAPF = 0 if _os.environ.get("TPUBWA_NO_SA_FUSE") else \
+        int(_os.environ.get("TPUBWA_SA_CAPF", 16))
+    fuse = SCAPF > 0
+
+    rows_out, rids_out, tail_jobs = [], [], []
+    sac_out, sap_out = [], []
+    NOPOS = np.zeros(0, np.int64)
+
+    def emit(rows, rids, sa_seg=None):
+        rows_out.append(rows)
+        rids_out.append(rids)
+        if fuse:
+            if sa_seg is None:
+                sac_out.append(np.full(len(rows), -1, np.int64))
+                sap_out.append(NOPOS)
+            else:
+                sac_out.append(sa_seg[0])
+                sap_out.append(sa_seg[1])
 
     handles = []
     for s in range(0, B, MACH):
@@ -1106,14 +1218,13 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
             np.zeros(e - s, np.int32), np.ones(e - s, npdt),
             np.zeros(e - s, bool), P, MAXC, 5, 1,
             opt.min_seed_len, split_len, opt.split_width, put=put,
-            max_rounds_b=RB_CAP, MLX=MLX, P2=QB_P2)))
-    rows_out, rids_out, tail_jobs = [], [], []
+            max_rounds_b=RB_CAP, MLX=MLX, P2=QB_P2, SCAPF=SCAPF,
+            max_occ=opt.max_occ)))
     for s, h in handles:
         (rows1, lane1, ovf1, rows2, lane2, ovf2,
-         j2n_dev) = decode_chunk_machine_q(h)
+         j2n_dev, sa) = decode_chunk_machine_q(h)
         rids1 = lane1 + s
-        rows_out.append(rows1)
-        rids_out.append(rids1)
+        emit(rows1, rids1, (sa[0], sa[1]) if sa else None)
         tail_jobs += [(int(ri) + s, 0, 1, False)
                       for ri in np.flatnonzero(ovf1)]
         rid2, jx2, jmi2 = _r2_jobs_from(opt, split_len, npdt, rows1,
@@ -1130,8 +1241,8 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
             # jobs >= J2 never ran on device (dropped); retry those
             # plus the flagged ones
             n_ok = min(j2n_dev, J2)
-            rows_out.append(rows2)
-            rids_out.append(rid2[lane2].astype(np.int64))
+            emit(rows2, rid2[lane2].astype(np.int64),
+                 (sa[2], sa[3]) if sa else None)
             redo = set(np.flatnonzero(ovf2[:n_ok]).tolist())
             redo.update(range(n_ok, j2n_dev))
             tail_jobs += [(int(rid2[k]), int(jx2[k]), int(jmi2[k]),
@@ -1144,16 +1255,21 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         josh = np.array([j[3] for j in tail_jobs], bool)
         h = dispatch_chunk_machine_q(
             didx, qd, ld, jr, jx0, jmi, josh, P2, MAXC2, 8, 2,
-            opt.min_seed_len, split_len, opt.split_width, put=put)
+            opt.min_seed_len, split_len, opt.split_width, put=put,
+            SCAPF=SCAPF, max_occ=opt.max_occ)
         (rows1, lane1, ovf1, rows2, lane2, ovf2,
-         j2n_dev) = decode_chunk_machine_q(h)
+         j2n_dev, sa) = decode_chunk_machine_q(h)
         rids1 = jr[lane1].astype(np.int64)
-        rows_out.append(rows1)
-        rids_out.append(rids1)
+        emit(rows1, rids1, (sa[0], sa[1]) if sa else None)
 
         def scalar_full(jobs):
+            n_before = len(rows_out)
             _scalar_full(opt, fmi, reads, lens_np, split_len, npdt,
                          jobs, rows_out, rids_out)
+            if fuse:
+                for b in rows_out[n_before:]:
+                    sac_out.append(np.full(len(b), -1, np.int64))
+                    sap_out.append(NOPOS)
         scalar_full([tail_jobs[k] for k in np.flatnonzero(ovf1)])
         rrid, rjx, rjmi = _r2_jobs_from(opt, split_len, npdt, rows1,
                                         rids1, josh[lane1])
@@ -1173,19 +1289,24 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
                 rows, eff, ovf = run_call_machine(
                     didx, qd, ld, jf, xf, mf, of, P2, MAXC2, 48, 8,
                     opt.min_seed_len, put=put)
-                rows_out.append(rows.astype(np.int64))
-                rids_out.append(np.repeat(jf.astype(np.int64), eff))
+                emit(rows.astype(np.int64),
+                     np.repeat(jf.astype(np.int64), eff))
                 scalar_full([final_jobs[k]
                              for k in np.flatnonzero(ovf)])
         else:
             n_ok = min(j2n_dev, J2t)
-            rows_out.append(rows2)
-            rids_out.append(rrid[lane2].astype(np.int64))
+            emit(rows2, rrid[lane2].astype(np.int64),
+                 (sa[2], sa[3]) if sa else None)
             redo = set(np.flatnonzero(ovf2[:n_ok]).tolist())
             redo.update(range(n_ok, j2n_dev))
             scalar_full([(int(rrid[k]), int(rjx[k]), int(rjmi[k]),
                           True) for k in sorted(redo)])
-    return np.concatenate(rows_out), np.concatenate(rids_out)
+    rows = np.concatenate(rows_out)
+    rids = np.concatenate(rids_out)
+    if fuse:
+        return rows, rids, np.concatenate(sac_out), \
+            np.concatenate(sap_out)
+    return rows, rids, None, None
 
 
 def rounds12_mega(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
