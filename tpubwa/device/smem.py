@@ -194,11 +194,16 @@ def smems_reseed(didx: DeviceIndex, reads: np.ndarray, lens: np.ndarray,
     return out
 
 
-@partial(jax.jit, static_argnames=("min_len", "max_intv"))
+@partial(jax.jit, static_argnames=("min_len", "max_intv", "scapf",
+                                   "max_occ"))
 def _seed_strategy_scan(didx: DeviceIndex, q: jnp.ndarray,
-                        lens: jnp.ndarray, min_len: int, max_intv: int):
+                        lens: jnp.ndarray, min_len: int, max_intv: int,
+                        scapf: int = 0, max_occ: int = 500):
     """Round 3: lockstep bwt_seed_strategy1 (bwt.c:~490) over all reads.
-    Returns (hits [B, MAXH, 5] int64, n_hits [B])."""
+    Returns a flat buffer: hits [B, MAXH, 5] | n_hits [B] and, when
+    scapf > 0, the fused SA positions of the hit rows [scapf * B]
+    (same protocol + suffix-spill rule as smem_fused._sa_from_rows;
+    the host mirrors with smem_fused._sa_segments)."""
     dt = didx.idt
     B, L = q.shape
     MAXH = L // max(int(min_len), 1) + 1
@@ -257,7 +262,14 @@ def _seed_strategy_scan(didx: DeviceIndex, q: jnp.ndarray,
              jnp.zeros(B, dt))
     x, i, ik, mode, hits, nh = jax.lax.while_loop(cond, body, state)
     # one flat buffer (hits then nh): each extra D2H costs ~40 ms RTT
-    return jnp.concatenate([hits.reshape(-1), nh.astype(hits.dtype)])
+    parts = [hits.reshape(-1), nh.astype(hits.dtype)]
+    if scapf > 0:
+        from .smem_fused import _sa_from_rows
+        valid = (jnp.arange(MAXH, dtype=dt)[None, :]
+                 < nh[:, None]).reshape(-1)
+        parts.append(_sa_from_rows(didx, hits.reshape(-1, 5), valid,
+                                   max_occ, scapf * B).astype(dt))
+    return jnp.concatenate(parts)
 
 
 def _rounds12_cursor(opt, didx, qd, ld, lens_np, reads, split_len, fmi):
@@ -414,10 +426,19 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     # result is already on host by the time we sync on it (each
     # blocking sync costs a ~40 ms link round trip)
     scan_fut = None
+    import os as _os
+    scan_scapf = 0
+    if mode == "megaq" and not _os.environ.get("TPUBWA_NO_SA_FUSE"):
+        # round-3 rows would otherwise be the only per-chunk rows
+        # still needing a host-built SA dispatch (smem_fused fuses
+        # rounds 1-2's) — fuse theirs into the scan program too
+        scan_scapf = int(_os.environ.get("TPUBWA_SA_CAPF", 16))
     if opt.max_mem_intv > 0:
         scan_fut = _seed_strategy_scan(didx, qd, ld,
                                        int(opt.min_seed_len),
-                                       int(opt.max_mem_intv))
+                                       int(opt.max_mem_intv),
+                                       scapf=scan_scapf,
+                                       max_occ=int(opt.max_occ))
     blocks = []
     rids = []
     sa_cnt12 = sa_pos12 = None
@@ -470,17 +491,32 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                 rids.append(np.full(len(rows), ri, np.int64))
     # global merge: concatenate (rid, row) blocks from all three
     # rounds, ONE lexsort by (rid, qb, qe), split per read
+    scan_sa = None
     if scan_fut is not None:
         buf = np.asarray(scan_fut)
+        scap3 = scan_scapf * B
+        sa_tail = buf[len(buf) - scap3:] if scap3 else None
+        if scap3:
+            buf = buf[:len(buf) - scap3]
         hits = buf[:-B].reshape(B, -1, 5)
         nh = buf[-B:]
         MAXH = hits.shape[1]
         hv = np.arange(MAXH)[None, :] < nh[:, None]
         if hv.any():
-            blocks.append(hits.reshape(-1, 5)[hv.reshape(-1)]
-                          .astype(np.int64))
+            rows3 = hits.reshape(-1, 5)[hv.reshape(-1)].astype(np.int64)
+            blocks.append(rows3)
             rids.append(np.repeat(np.arange(B), MAXH)[hv.reshape(-1)]
                         .astype(np.int64))
+            if scap3:
+                # host mirror of the device segments (valid rows in
+                # flatten order == rows3 order)
+                from .smem_fused import _sa_segments
+                from .smem_split import _row_offsets
+                cnt3, starts3 = _sa_segments(rows3, sa_tail, scap3,
+                                             int(opt.max_occ))
+                c3 = np.maximum(cnt3, 0)
+                sel = np.repeat(starts3, c3) + _row_offsets(c3)
+                scan_sa = (cnt3, sa_tail.astype(np.int64)[sel])
     if not blocks:
         empty = np.zeros((0, 5), np.int64), np.zeros(0, np.int64)
         if return_flat:
@@ -504,11 +540,17 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
         if return_sa:
             sa = None
             if sa_cnt12 is not None:
-                # rows beyond rounds 1-2 (round-3 scan, scalar paths)
-                # carry cnt -1: the SA stage computes those host-side
+                # scalar-path rows carry cnt -1: the SA stage computes
+                # those host-side; rounds 1-2 and (when fused) round-3
+                # rows bring device positions
                 cnt_all = np.full(len(flat), -1, np.int64)
                 cnt_all[:len(sa_cnt12)] = sa_cnt12
-                sa = (*_permute_segments(cnt_all, sa_pos12, order),)
+                pos_all = sa_pos12
+                if scan_sa is not None:
+                    cnt_all[len(cnt_all) - len(scan_sa[0]):] = \
+                        scan_sa[0]
+                    pos_all = np.concatenate([sa_pos12, scan_sa[1]])
+                sa = (*_permute_segments(cnt_all, pos_all, order),)
             return ((flat, frid, qd, sa) if return_qd
                     else (flat, frid, sa))
         return (flat, frid, qd) if return_qd else (flat, frid)
