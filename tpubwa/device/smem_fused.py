@@ -1185,7 +1185,11 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
     npdt = didx.np_idt
     from .smem_split import _stack_P
     P = _stack_P(didx)
-    MAXC = 8 if np.asarray(reads).shape[1] <= 192 else 16
+    # MAXC 12 (not 8): ~0.5% of 100bp reads at realistic error rates
+    # need 9 calls, and ONE over-cap lane per chunk forces a serial
+    # deep-tail dispatch (~100 ms).  In the queue machine MAXC costs
+    # only snapshot memory + phase-A write masks, not backward rounds.
+    MAXC = 12 if np.asarray(reads).shape[1] <= 192 else 16
     P2, MAXC2 = 32, 32
     import os as _os
     RB_CAP = int(_os.environ.get("TPUBWA_RB_CAP", 1024))
