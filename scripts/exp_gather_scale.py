@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--lanes", type=int, default=262144)
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--sizes-mb", default="1,8,64,256")
+    ap.add_argument("--widths", default="12",
+                    help="comma-separated row widths (u32 words)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for smoke)")
     args = ap.parse_args()
@@ -53,12 +55,15 @@ def main():
         return acc + ix[0]
 
     rng = np.random.default_rng(0)
+    widths = [int(w) for w in args.widths.split(",")]
     for mb in (int(s) for s in args.sizes_mb.split(",")):
+      for width in widths:
         # table modeled on occ_blocks: one 12-word row per 128 bases,
-        # doubled text -> 2 * mb * 1e6 / 128 rows
+        # doubled text -> 2 * mb * 1e6 / 128 rows; width sweep tells
+        # issue-rate-bound (width-flat) from bandwidth/latency-bound
         rows = max(2 * mb * 1_000_000 // 128, 1024)
         table = jnp.asarray(
-            rng.integers(0, 2**32, (rows, 12), dtype=np.uint32))
+            rng.integers(0, 2**32, (rows, width), dtype=np.uint32))
         idx = jnp.asarray(
             rng.integers(0, rows, args.lanes, dtype=np.int32))
         # block_until_ready does not block on the axon backend
@@ -75,8 +80,9 @@ def main():
         t2 = time.perf_counter()
         per_round = ((t2 - t1) - (t1 - t0)) / args.reps
         ns = per_round / args.lanes * 1e9
-        print(f"[exp] {mb:4d} Mb ({rows} rows, "
-              f"{rows * 48 / 1e6:.0f} MB): {per_round * 1e3:.2f} ms / "
+        print(f"[exp] {mb:4d} Mb w={width:2d} ({rows} rows, "
+              f"{rows * width * 4 / 1e6:.0f} MB): "
+              f"{per_round * 1e3:.2f} ms / "
               f"{args.lanes} gathers = {ns:.2f} ns/idx",
               file=sys.stderr)
 
