@@ -361,3 +361,40 @@ def test_megaq_p2_small_stack(setup, monkeypatch):
         gk = sorted((int(x[3]), int(x[4]), int(x[2]), int(x[0]),
                      int(x[1])) for x in got[i])
         assert gk == wk, f"read {i}"
+
+
+def test_megaq_stress_mixed_corpus(setup):
+    """Randomized stress over the megaq queue machinery: mixed
+    lengths, N runs, tandem repeats, garbage, and near-duplicate
+    reads, all in one chunk — per-read multisets must equal the
+    scalar oracle."""
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    rng = np.random.default_rng(99)
+    opt = MemOpt()
+    reads = []
+    for t in range(40):
+        L = int(rng.choice([31, 50, 70, 100]))
+        start = int(rng.integers(0, len(codes) - L - 5))
+        q = text[start:start + L].copy()
+        kind = t % 5
+        if kind == 1:      # N run
+            p = int(rng.integers(0, max(L - 6, 1)))
+            q[p:p + 5] = 4
+        elif kind == 2:    # heavy mutations
+            mut = rng.random(L) < 0.15
+            q[mut] = (q[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        elif kind == 3:    # repeat-unit read
+            q = np.tile(unit, (L // len(unit)) + 1)[:L].copy()
+        elif kind == 4:    # garbage
+            q = rng.integers(0, 5, L).astype(np.uint8)
+        reads.append(q)
+    arr, lens = _pack_reads(reads, 100)
+    got = collect_intv_device(opt, didx, arr, lens, fmi=fmi,
+                              mode="megaq")
+    for i, r in enumerate(reads):
+        want = collect_intv(opt, fmi, r)
+        wk = sorted((m.qb, m.qe, m.size, m.x0, m.x1) for m in want)
+        gk = sorted((int(x[3]), int(x[4]), int(x[2]), int(x[0]),
+                     int(x[1])) for x in got[i])
+        assert gk == wk, f"read {i} kind {i % 5}"
