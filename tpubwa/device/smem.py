@@ -404,8 +404,11 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     'reach' (all-starts formulation).  TPUBWA_SEED_MODE overrides."""
     import os
     if mode is None:
+        # megaq default: 2.9x fewer backward rounds, no per-chunk deep
+        # tail, SA fused into the dispatch (scripts/exp_rounds_cpu.py;
+        # docs/PERF_NOTES.md round-2 notes)
         mode = os.environ.get("TPUBWA_SEED_MODE",
-                              "mega" if use_cursor else "reach")
+                              "megaq" if use_cursor else "reach")
     if mode != "reach" and fmi is None:
         mode = "reach"
     use_cursor = mode != "reach"
@@ -444,11 +447,29 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     sa_cnt12 = sa_pos12 = None
     if use_cursor:
         if mode == "megaq":
-            from .smem_fused import rounds12_megaq
-            (rows12, rids12, sa_cnt12,
-             sa_pos12) = rounds12_megaq(opt, didx, qd, ld,
-                                        lens_np, reads, split_len,
-                                        fmi, put=put_sharded)
+            try:
+                from .smem_fused import rounds12_megaq
+                (rows12, rids12, sa_cnt12,
+                 sa_pos12) = rounds12_megaq(opt, didx, qd, ld,
+                                            lens_np, reads, split_len,
+                                            fmi, put=put_sharded)
+            except Exception:  # pragma: no cover - backend-dependent
+                # megaq is the modeled-fastest machine but its lowering
+                # has more moving parts (queue scatters); if a backend
+                # rejects it, degrade to the proven mega machine for
+                # the rest of the process instead of failing the run.
+                if os.environ.get("TPUBWA_SEED_MODE") == "megaq":
+                    raise  # explicit request: surface the error
+                import logging
+                logging.getLogger("tpubwa").warning(
+                    "megaq seeding machine failed; falling back to "
+                    "mega for this process", exc_info=True)
+                os.environ["TPUBWA_SEED_MODE"] = "mega"
+                return collect_intv_device(
+                    opt, didx, reads, lens, fmi=fmi, mode="mega",
+                    put_sharded=put_sharded, put_repl=put_repl,
+                    return_flat=return_flat, return_qd=return_qd,
+                    return_sa=return_sa)
         elif mode == "mega":
             from .smem_fused import rounds12_mega
             rows12, rids12 = rounds12_mega(opt, didx, qd, ld, lens_np,

@@ -30,10 +30,18 @@ def enable_compilation_cache() -> None:
     """Persistent XLA compilation cache: the seeding/extension programs
     cost tens of seconds to compile on TPU; caching them on disk makes
     every process after the first start hot.  Opt out with
-    TPUBWA_NO_COMPILE_CACHE=1 (e.g. when debugging lowering)."""
+    TPUBWA_NO_COMPILE_CACHE=1 (e.g. when debugging lowering).
+
+    TPU-class backends only: XLA:CPU persists AOT *machine code* whose
+    embedded target features (incl. GSPMD's prefer-no-scatter/gather
+    pseudo-features) vary per compile; loading a mismatched entry
+    SIGILLs/aborts the process (cpu_aot_loader.cc:210 warns exactly
+    this).  CPU compiles are fast, so caching buys nothing there."""
     if os.environ.get("TPUBWA_NO_COMPILE_CACHE"):
         return
     import jax
+    if jax.default_backend() in ("cpu",):
+        return
     cache_dir = os.environ.get(
         "TPUBWA_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "tpubwa-xla"))
