@@ -70,7 +70,7 @@ class DeviceAligner:
     def __init__(self, opt: MemOpt, fmi: FMIndex, platform: str = "auto",
                  use_pallas: bool = True, mesh=None):
         from ..utils import enable_compilation_cache
-        enable_compilation_cache()
+        enable_compilation_cache(platform)
         self.opt = opt
         self.fmi = fmi
         self.mat = opt.scoring_matrix()

@@ -26,7 +26,7 @@ from typing import Dict, Optional
 log = logging.getLogger("tpubwa")
 
 
-def enable_compilation_cache() -> None:
+def enable_compilation_cache(platform: str = "auto") -> None:
     """Persistent XLA compilation cache: the seeding/extension programs
     cost tens of seconds to compile on TPU; caching them on disk makes
     every process after the first start hot.  Opt out with
@@ -36,11 +36,20 @@ def enable_compilation_cache() -> None:
     embedded target features (incl. GSPMD's prefer-no-scatter/gather
     pseudo-features) vary per compile; loading a mismatched entry
     SIGILLs/aborts the process (cpu_aot_loader.cc:210 warns exactly
-    this).  CPU compiles are fast, so caching buys nothing there."""
+    this).  CPU compiles are fast, so caching buys nothing there.
+
+    The platform test must NOT initialize a backend (no
+    jax.default_backend()): client creation blocks forever on a
+    wedged chip tunnel, and it would also lock the backend in before
+    callers can force CPU via jax.config.  Decide from the caller's
+    intent + already-set config/env instead."""
     if os.environ.get("TPUBWA_NO_COMPILE_CACHE"):
         return
     import jax
-    if jax.default_backend() in ("cpu",):
+    if platform == "auto":
+        platform = (os.environ.get("TPUBWA_JAX_PLATFORMS")
+                    or jax.config.jax_platforms or "auto")
+    if platform.split(",")[0].strip() == "cpu":
         return
     cache_dir = os.environ.get(
         "TPUBWA_COMPILE_CACHE",
