@@ -275,6 +275,31 @@ def test_megaq_overflow_retry(setup, monkeypatch):
         assert gk == wk, f"read {i}"
 
 
+def test_megaq_tail_host_vs_deep_machine(setup, monkeypatch):
+    """A tiny flagged tail is redone on the host scalar path by
+    default (TPUBWA_TAIL_HOST); forcing the deep machine instead
+    (TAIL_HOST=0) must produce identical rows."""
+    import tpubwa.device.smem_split as ss
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    opt = MemOpt()
+    monkeypatch.setattr(ss, "_stack_P", lambda d: 8)  # force overflow
+    reads = [np.tile(unit, 3)[:100].copy(),
+             text[150:250].copy(), text[420:520].copy()]
+    arr, lens = _pack_reads(reads, 100)
+    monkeypatch.setenv("TPUBWA_TAIL_HOST", "0")   # deep machine
+    deep = collect_intv_device(opt, didx, arr, lens, fmi=fmi,
+                               mode="megaq")
+    monkeypatch.setenv("TPUBWA_TAIL_HOST", "64")  # host redo
+    host = collect_intv_device(opt, didx, arr, lens, fmi=fmi,
+                               mode="megaq")
+    for i, r in enumerate(reads):
+        want = sorted((m.x0, m.x1, m.size, m.qb, m.qe)
+                      for m in collect_intv(opt, fmi, r))
+        assert _key(deep[i]) == want, f"deep path read {i}"
+        assert _key(host[i]) == want, f"host path read {i}"
+
+
 def test_megaq_emission_cap_retry(setup, monkeypatch):
     """Forced tiny emission buffer (CAPF) drives the global-buffer
     overflow path: flagged reads retry on the deep machine."""

@@ -1253,6 +1253,24 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
                            True) for k in sorted(redo)]
     # ---- ONE deep tail machine for everything flagged
     if tail_jobs:
+        def scalar_full_jobs(jobs):
+            n_before = len(rows_out)
+            _scalar_full(opt, fmi, reads, lens_np, split_len, npdt,
+                         jobs, rows_out, rids_out)
+            if fuse:
+                for b in rows_out[n_before:]:
+                    sac_out.append(np.full(len(b), -1, np.int64))
+                    sap_out.append(NOPOS)
+        # a tiny tail (the common case: 1-3 overflow lanes per 8k-read
+        # chunk) is cheaper on the host scalar path than a deep-machine
+        # dispatch (~145 rounds + a link sync for 2 live lanes measured
+        # by profile_scale); bit-identity holds either way (the scalar
+        # path IS the oracle)
+        TAIL_HOST = int(_os.environ.get("TPUBWA_TAIL_HOST", 8))
+        if len(tail_jobs) <= TAIL_HOST and fmi is not None:
+            scalar_full_jobs(tail_jobs)
+            tail_jobs = []
+    if tail_jobs:
         jr = np.array([j[0] for j in tail_jobs], np.int32)
         jx0 = np.array([j[1] for j in tail_jobs], np.int32)
         jmi = np.array([j[2] for j in tail_jobs], npdt)
@@ -1266,14 +1284,7 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         rids1 = jr[lane1].astype(np.int64)
         emit(rows1, rids1, (sa[0], sa[1]) if sa else None)
 
-        def scalar_full(jobs):
-            n_before = len(rows_out)
-            _scalar_full(opt, fmi, reads, lens_np, split_len, npdt,
-                         jobs, rows_out, rids_out)
-            if fuse:
-                for b in rows_out[n_before:]:
-                    sac_out.append(np.full(len(b), -1, np.int64))
-                    sap_out.append(NOPOS)
+        scalar_full = scalar_full_jobs
         scalar_full([tail_jobs[k] for k in np.flatnonzero(ovf1)])
         rrid, rjx, rjmi = _r2_jobs_from(opt, split_len, npdt, rows1,
                                         rids1, josh[lane1])
