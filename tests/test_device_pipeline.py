@@ -82,6 +82,39 @@ def test_device_sam_identical_to_scalar(setup):
     assert run("cpu") == run("scalar")
 
 
+def test_sam_identical_across_seed_modes(setup, monkeypatch):
+    """megaq (default) and mega seeding machines must produce
+    byte-identical SAM on a PE corpus with SNPs and indels — pins the
+    default seed mode at the CLI level, not just interval rows."""
+    d, codes, prefix, fmi = setup
+    rng = np.random.default_rng(17)
+    pairs = simulate_pairs(codes, 48, 100, rng, snp_rate=0.01)
+
+    def indel(s):
+        # plant a small insertion and deletion (indel CIGAR paths)
+        p = int(rng.integers(10, 60))
+        ins = "".join("ACGT"[c] for c in rng.integers(0, 4, 3))
+        s = s[:p] + ins + s[p:p + 30] + s[p + 33:]
+        return s[:100]
+    r1 = [(n, indel(s1) if i % 3 == 0 else s1)
+          for i, (n, s1, s2, *_) in enumerate(pairs)]
+    r2 = [(n, indel(s2) if i % 5 == 0 else s2)
+          for i, (n, s1, s2, *_) in enumerate(pairs)]
+    fq1, fq2 = str(d / "m1.fq"), str(d / "m2.fq")
+    write_fastq(fq1, r1)
+    write_fastq(fq2, r2)
+
+    def run(mode):
+        monkeypatch.setenv("TPUBWA_SEED_MODE", mode)
+        out = io.StringIO()
+        assert main_mem(["--device", "cpu", prefix, fq1, fq2],
+                        out=out) == 0
+        return [l for l in out.getvalue().splitlines()
+                if not l.startswith("@PG")]
+
+    assert run("megaq") == run("mega")
+
+
 def test_device_pipeline_int64_path(monkeypatch):
     """Human-scale indexes (seq_len >= 2^31) take the int64 rank path;
     force it on a small genome and pin equality vs the scalar oracle
