@@ -1040,7 +1040,15 @@ def _r2_jobs_from(opt, split_len, npdt, rows, rids,
 def _scalar_full(opt, fmi, reads, lens_np, split_len, npdt, jobs,
                  rows_out, rids_out):
     """Terminal scalar fallback: one-shot jobs reseed directly; full-
-    protocol jobs run round 1 plus ALL of their round-2 reseeds."""
+    protocol jobs run round 1 plus ALL of their round-2 reseeds.
+    Native C++ fast path (host/native_smem.py, ~30x) with the Python
+    scalar reference as fallback — identical emission order."""
+    from ..host.native_smem import smem_jobs_native
+    nat = smem_jobs_native(opt, fmi, reads, lens_np, split_len, jobs)
+    if nat is not None:
+        rows_out.append(nat[:, :5])
+        rids_out.append(nat[:, 5])
+        return
     from .smem import _scalar_reseed, _scalar_round1
     for (ri, x, mi, osh) in jobs:
         if osh:
@@ -1265,8 +1273,13 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         # chunk) is cheaper on the host scalar path than a deep-machine
         # dispatch (~145 rounds + a link sync for 2 live lanes measured
         # by profile_scale); bit-identity holds either way (the scalar
-        # path IS the oracle)
-        TAIL_HOST = int(_os.environ.get("TPUBWA_TAIL_HOST", 8))
+        # path IS the oracle).  With the native C++ scalar (~0.04 ms/
+        # read vs ~60 ms Python at 64 Mb) the host path wins up to
+        # hundreds of jobs, so the deep machine becomes the exception.
+        from ..host.native_smem import _lib as _smem_lib
+        tail_default = 512 if _smem_lib() is not None else 8
+        TAIL_HOST = int(_os.environ.get("TPUBWA_TAIL_HOST",
+                                        tail_default))
         if len(tail_jobs) <= TAIL_HOST and fmi is not None:
             scalar_full_jobs(tail_jobs)
             tail_jobs = []

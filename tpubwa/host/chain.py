@@ -104,8 +104,15 @@ def mem_chain(opt: MemOpt, fmi: FMIndex, q: np.ndarray,
         return []
     l_pac = fmi.bnt.l_pac
     if intvs is None:
-        intvs = collect_intv(opt, fmi, q)
-    elif isinstance(intvs, np.ndarray):
+        # native C++ seeding (bit-identical, ~1000x the Python
+        # scalar); the Python reference stays as the fallback oracle
+        from .native_smem import collect_intv_native
+        rows = collect_intv_native(opt, fmi, q)
+        if rows is not None:
+            intvs = rows
+        else:
+            intvs = collect_intv(opt, fmi, q)
+    if isinstance(intvs, np.ndarray):
         # device pipeline fast path: raw [n, 5] rows, no dataclasses
         intvs = [BwtIntv(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
                          int(r[4])) for r in intvs]

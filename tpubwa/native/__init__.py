@@ -169,3 +169,33 @@ def load_bwacore():
         lib.tpubwa_plan_free.argtypes = [ctypes.c_void_p]
         _bwacore_lib = lib
     return _bwacore_lib
+
+
+_smem_lib = None
+
+
+def load_smem():
+    """ctypes handle to the native scalar SMEM module (smem.cpp) —
+    the production host fallback for overflow tails and oversize
+    reads (ref/smem.py stays the independent Python oracle)."""
+    global _smem_lib
+    if _smem_lib is None:
+        lib = ctypes.CDLL(str(_build("smem.cpp", "smem")))
+        i64 = ctypes.c_int64
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(i64)
+        lib.tpubwa_smem_init.restype = ctypes.c_void_p
+        lib.tpubwa_smem_init.argtypes = [u32p, u32p, i64p, i64, i64]
+        lib.tpubwa_smem_free.restype = None
+        lib.tpubwa_smem_free.argtypes = [ctypes.c_void_p]
+        lib.tpubwa_smem_collect.restype = i64
+        lib.tpubwa_smem_collect.argtypes = [
+            ctypes.c_void_p, u8p, i64, i64, i64, i64, i64, i64p, i64]
+        lib.tpubwa_smem_jobs.restype = i64
+        lib.tpubwa_smem_jobs.argtypes = [
+            ctypes.c_void_p, u8p, i64, i32p, i64p, i64, i64, i64, i64,
+            i64p, i64]
+        _smem_lib = lib
+    return _smem_lib
