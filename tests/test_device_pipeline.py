@@ -112,7 +112,9 @@ def test_sam_identical_across_seed_modes(setup, monkeypatch):
         return [l for l in out.getvalue().splitlines()
                 if not l.startswith("@PG")]
 
-    assert run("megaq") == run("mega")
+    base = run("megaq")
+    assert base == run("mega")
+    assert base == run("host")  # native host seeding + device rest
 
 
 def test_device_pipeline_int64_path(monkeypatch):

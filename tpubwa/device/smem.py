@@ -395,8 +395,11 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     overflow fallback is unavailable, so the call degrades to the
     all-starts reach path instead of crashing on repetitive input.
 
-    mode: 'megaq' (two-round single-dispatch machine with QUEUE-
-    scheduled backward phases — smem_fused.py:smem_chunk_machine_q),
+    mode: 'host' (native C++ scalar seeding on the host core, zero
+    seeding dispatches — host/native_smem.py; the device keeps
+    extension/SA), 'megaq' (two-round single-dispatch machine with
+    QUEUE-scheduled backward phases —
+    smem_fused.py:smem_chunk_machine_q),
     'mega' (default; rounds 1+2 in ONE dispatch with on-device
     round-2 job construction — smem_fused.py:smem_chunk_machine),
     'fused' (one dispatch per seeding round), 'split' (phase-split
@@ -414,6 +417,33 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
     use_cursor = mode != "reach"
     B, L = reads.shape
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    if mode == "host":
+        # host seeding mode: the native C++ scalar runs the full
+        # 3-round protocol on the host core (25k reads/s at 64 Mb —
+        # ~3x this tunneled chip's machine; docs/PERF_NOTES.md) while
+        # the device keeps extension; zero seeding dispatches.  SA is
+        # left to the caller (sa=None -> classic SA stage).
+        from ..host.native_smem import smem_collect_batch_native
+        rows6 = smem_collect_batch_native(opt, fmi, reads, lens)
+        if rows6 is not None:
+            flat = rows6[:, :5]
+            frid = rows6[:, 5]
+            # rid-major with per-read (qb, qe) sort == the global
+            # lexsort contract
+            if return_flat:
+                qd = None
+                if return_qd:
+                    if put_repl is None:
+                        put_repl = jnp.asarray
+                    qd = put_repl(np.ascontiguousarray(
+                        reads, dtype=np.uint8))
+                if return_sa:
+                    return ((flat, frid, qd, None) if return_qd
+                            else (flat, frid, None))
+                return (flat, frid, qd) if return_qd else (flat, frid)
+            counts = np.bincount(frid, minlength=B)
+            return np.split(flat, np.cumsum(counts)[:-1])
+        mode = "megaq"  # native unavailable: device path
     # one H2D of the chunk's codes (uint8: the link is slow), reused by
     # all three rounds
     lens_np = np.asarray(lens, np.int32)

@@ -126,3 +126,34 @@ def collect_intv_native(opt, fmi, q):
             return out[:n]
         cap = -n
     return None  # pragma: no cover - exact retry cannot fail
+
+
+def smem_collect_batch_native(opt, fmi, reads, lens_np):
+    """Full 3-round collect for a packed read chunk: int64 [n, 6]
+    rows (x0, x1, size, qb, qe, rid), per-read (qb, qe)-sorted and
+    concatenated in read order — the host seeding mode's one call.
+    None if the native path is unavailable."""
+    h = _handle(fmi)
+    if h is None or not h.h:
+        return None
+    reads = np.ascontiguousarray(reads, np.uint8)
+    lens = np.ascontiguousarray(lens_np, np.int32)
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    cap = 8 * len(lens) + 64
+    for _ in range(2):
+        out = np.zeros((cap, 6), np.int64)
+        n = h.lib.tpubwa_smem_collect_batch(
+            h.h, reads.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(reads.shape[1]),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(len(lens)),
+            ctypes.c_int64(int(opt.min_seed_len)),
+            ctypes.c_int64(split_len),
+            ctypes.c_int64(int(opt.split_width)),
+            ctypes.c_int64(int(opt.max_mem_intv)),
+            out.ctypes.data_as(i64p), ctypes.c_int64(cap))
+        if n >= 0:
+            return out[:n]
+        cap = -n
+    return None  # pragma: no cover - exact retry cannot fail

@@ -307,6 +307,48 @@ int64_t tpubwa_smem_collect(void* h, const uint8_t* q, int64_t len,
     return (int64_t)mems.size();
 }
 
+// Batched full 3-round collect for a read chunk (the host seeding
+// mode): per-read rows sorted by (qb, qe), concatenated in read
+// order, rid in column 5.  Returns row count or -needed.
+int64_t tpubwa_smem_collect_batch(void* h, const uint8_t* reads,
+                                  int64_t stride, const int32_t* lens,
+                                  int64_t n_reads,
+                                  int64_t min_seed_len,
+                                  int64_t split_len,
+                                  int64_t split_width,
+                                  int64_t max_mem_intv,
+                                  int64_t* out_rows, int64_t cap) {
+    int64_t n = 0;
+    bool overflow = false;
+    std::vector<int64_t> one((size_t)(4 * stride + 64) * 5);
+    for (int64_t ri = 0; ri < n_reads; ++ri) {
+        const uint8_t* q = reads + ri * stride;
+        int64_t c = (int64_t)one.size() / 5;
+        int64_t m = tpubwa_smem_collect(h, q, lens[ri], min_seed_len,
+                                        split_len, split_width,
+                                        max_mem_intv, one.data(), c);
+        if (m < 0) {
+            one.resize((size_t)(-m) * 5);
+            m = tpubwa_smem_collect(h, q, lens[ri], min_seed_len,
+                                    split_len, split_width,
+                                    max_mem_intv, one.data(),
+                                    -m);
+        }
+        for (int64_t i = 0; i < m; ++i) {
+            if (n < cap) {
+                int64_t* r = out_rows + n * 6;
+                std::memcpy(r, one.data() + i * 5,
+                            5 * sizeof(int64_t));
+                r[5] = ri;
+            } else {
+                overflow = true;
+            }
+            ++n;
+        }
+    }
+    return overflow ? -n : n;
+}
+
 // The _scalar_full job batch (device/smem_fused.py): jobs are
 // (read_idx, x, min_intv, one_shot) int64[nj,4]; one-shot jobs reseed
 // from x with min_intv; full jobs run sorted round 1 plus ALL of
