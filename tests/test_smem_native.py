@@ -154,3 +154,41 @@ def test_smem1a_native_fuzz_small_texts(setup):
                 if m.qe - m.qb >= opt.min_seed_len]
         assert [tuple(int(v) for v in r[:5]) for r in got] == want, \
             (trial, x, mi)
+
+
+def test_sa_positions_native_equals_device(setup):
+    """Native bounded SA walk + subsampling == the device sa_lookup
+    path on real interval rows (incl. big intervals that subsample)."""
+    _need_lib()
+    import jax
+    from tpubwa.device.occ import DeviceIndex, sa_lookup
+    from tpubwa.host.native_smem import sa_positions_native
+    import jax.numpy as jnp
+    fmi, codes, unit = setup
+    didx = DeviceIndex.from_fmindex(fmi)
+    opt = MemOpt()
+    text = fmi.bnt.doubled()
+    rng = np.random.default_rng(21)
+    rows = []
+    for t in range(12):
+        s = int(rng.integers(0, len(codes) - 120))
+        q = text[s:s + 100].copy()
+        for m in collect_intv(opt, fmi, q):
+            rows.append((m.x0, m.x1, m.size, m.qb, m.qe))
+    q = np.tile(unit, 5)[:100].copy()        # repetitive: big size
+    for m in collect_intv(opt, fmi, q):
+        rows.append((m.x0, m.x1, m.size, m.qb, m.qe))
+    flat = np.asarray(rows, np.int64)
+    got = sa_positions_native(fmi, flat, opt.max_occ)
+    assert got is not None
+    pos_n, cnt_n = got
+    # device reference: same subsampling arithmetic + sa_lookup
+    size = flat[:, 2]
+    step = np.where(size > opt.max_occ, size // opt.max_occ, 1)
+    cnt = np.minimum((size + step - 1) // step, opt.max_occ)
+    ranks = np.concatenate([
+        flat[i, 0] + np.arange(cnt[i]) * step[i]
+        for i in range(len(flat))]).astype(np.int64)
+    want = np.asarray(sa_lookup(didx, jnp.asarray(ranks)))
+    assert np.array_equal(cnt_n, cnt)
+    assert np.array_equal(pos_n, want.astype(np.int64))

@@ -150,6 +150,14 @@ class DeviceAligner:
         flat, _counts = intv
         if not len(flat):
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        # native host walk first (bounded by the text-position marks,
+        # ~1 us/position): beats a device dispatch + link sync for
+        # every caller — the host seeding mode, megaq's -1 spill rows,
+        # and the classic path alike
+        from ..host.native_smem import sa_positions_native
+        nat = sa_positions_native(self.fmi, flat, self.opt.max_occ)
+        if nat is not None:
+            return nat
         x0 = flat[:, 0]
         size = flat[:, 2]
         step = np.where(size > self.opt.max_occ,

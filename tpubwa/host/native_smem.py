@@ -157,3 +157,42 @@ def smem_collect_batch_native(opt, fmi, reads, lens_np):
             return out[:n]
         cap = -n
     return None  # pragma: no cover - exact retry cannot fail
+
+
+def sa_positions_native(fmi, flat, max_occ):
+    """Host SA stage: bwa's per-interval subsampling + text-position-
+    marked bounded walks for the chunk's flat rows.  Returns
+    (pos int64 [total], cnt int64 [n_rows]) — the _sa_positions
+    contract — or None (no native lib / index without marks)."""
+    if getattr(fmi, "sa_mark_D", 0) in (0, None) \
+            or getattr(fmi, "sa_mark_rows", None) is None:
+        return None
+    h = _handle(fmi)
+    if h is None or not h.h:
+        return None
+    if not getattr(h, "sa_ready", False):
+        h.mark_rows = np.ascontiguousarray(fmi.sa_mark_rows, np.uint32)
+        h.marked = np.ascontiguousarray(fmi.sa_marked, np.int64)
+        h.lib.tpubwa_sa_init(
+            h.h,
+            h.mark_rows.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint32)),
+            h.marked.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(int(fmi.sa_mark_D)))
+        h.sa_ready = True
+    flat = np.ascontiguousarray(flat, np.int64)
+    x0 = np.ascontiguousarray(flat[:, 0])
+    size = np.ascontiguousarray(flat[:, 2])
+    n_rows = len(flat)
+    cnt = np.zeros(n_rows, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    cap = int(np.minimum(size, max_occ).sum())
+    out = np.zeros(max(cap, 1), np.int64)
+    n = h.lib.tpubwa_sa_positions(
+        h.h, x0.ctypes.data_as(i64p), size.ctypes.data_as(i64p),
+        ctypes.c_int64(n_rows), ctypes.c_int64(int(max_occ)),
+        out.ctypes.data_as(i64p), ctypes.c_int64(len(out)),
+        cnt.ctypes.data_as(i64p))
+    if n < 0:
+        return None  # pragma: no cover - cap covers the protocol max
+    return out[:n], cnt

@@ -201,5 +201,11 @@ def load_smem():
         lib.tpubwa_smem_jobs.argtypes = [
             ctypes.c_void_p, u8p, i64, i32p, i64p, i64, i64, i64, i64,
             i64p, i64]
+        lib.tpubwa_sa_init.restype = None
+        lib.tpubwa_sa_init.argtypes = [ctypes.c_void_p, u32p, i64p,
+                                       i64]
+        lib.tpubwa_sa_positions.restype = i64
+        lib.tpubwa_sa_positions.argtypes = [
+            ctypes.c_void_p, i64p, i64p, i64, i64, i64p, i64, i64p]
         _smem_lib = lib
     return _smem_lib

@@ -11,6 +11,7 @@
 // scalar path — cases where a device dispatch costs more than the
 // work (docs/PERF_NOTES.md "tiny-tail host redo").
 #include <cstdint>
+#include <climits>
 #include <cstring>
 #include <vector>
 #include <algorithm>
@@ -23,6 +24,10 @@ struct FmIdx {
     int64_t L2[5];
     int64_t seq_len;
     int64_t primary;
+    // text-position-marked SA (fmindex.py:build_sa_marks); optional
+    const uint32_t* mark_rows = nullptr;  // [nb][8]
+    const int64_t* marked_vals = nullptr;
+    int64_t mark_D = 0;
 };
 
 struct Intv {
@@ -63,6 +68,71 @@ static void occ4(const FmIdx& f, int64_t k, int64_t out[4]) {
     if (k < 0) { out[0] = out[1] = out[2] = out[3] = 0; return; }
     if (k >= f.primary) k -= 1;
     occ4_stored(f, k, out);
+}
+
+// single-base stored count (the occ4 scan, one pattern)
+static int64_t occ1_stored(const FmIdx& f, int64_t k, int c) {
+    if (k < 0) return 0;
+    const int64_t blk = k >> 7;
+    const int64_t start = blk << 7;
+    const int64_t w0 = blk * 8;
+    const int64_t nb = k - start + 1;
+    const int64_t nw = (nb + 15) >> 4;
+    int64_t cnt = f.ckpt[blk * 4 + c];
+    const int rem = (int)(nb & 15);
+    const uint32_t pat = 0x55555555u * (uint32_t)c;
+    for (int64_t i = 0; i < nw; ++i) {
+        const uint32_t w = f.words[w0 + i];
+        const uint32_t keep = (i == nw - 1 && rem)
+            ? (0xFFFFFFFFu << (32 - 2 * rem)) : 0xFFFFFFFFu;
+        const uint32_t x = w ^ pat;
+        cnt += __builtin_popcount((~x) & ((~x) >> 1) & 0x55555555u
+                                  & keep);
+    }
+    return cnt;
+}
+
+static int64_t occ1(const FmIdx& f, int64_t k, int c) {
+    if (k == f.seq_len) return f.L2[c + 1] - f.L2[c];
+    if (k < 0) return 0;
+    if (k >= f.primary) k -= 1;
+    return occ1_stored(f, k, c);
+}
+
+static inline int bwt_code(const FmIdx& f, int64_t k) {
+    const uint32_t w = f.words[k >> 4];
+    return (w >> ((15 - (k & 15)) << 1)) & 3;
+}
+
+// LF mapping on conceptual rows (bwt.h:bwt_invPsi)
+static int64_t inv_psi(const FmIdx& f, int64_t k) {
+    if (k == f.primary) return 0;
+    const int64_t x = k - (k > f.primary ? 1 : 0);
+    const int c = bwt_code(f, x);
+    return f.L2[c] + occ1(f, k, c);
+}
+
+// bwt_sa via text-position marks: every walk <= D-1 LF steps
+static int64_t sa_value(const FmIdx& f, int64_t k) {
+    int64_t steps = 0;
+    for (;;) {
+        const int64_t blk = k >> 7;
+        const uint32_t* row = f.mark_rows + blk * 8;
+        const int within = (int)(k & 127);
+        const int wi = within >> 5;
+        const int bp = 31 - (within & 31);
+        const uint32_t w = row[1 + wi];
+        if ((w >> bp) & 1u) {
+            uint32_t full = 0;
+            for (int i = 0; i < wi; ++i)
+                full += __builtin_popcount(row[1 + i]);
+            const uint32_t part =
+                bp >= 31 ? 0 : __builtin_popcount(w >> (bp + 1));
+            return steps + f.marked_vals[row[0] + full + part];
+        }
+        k = inv_psi(f, k);
+        ++steps;
+    }
 }
 
 static Intv set_intv(const FmIdx& f, int c) {
@@ -253,6 +323,46 @@ void* tpubwa_smem_init(const uint32_t* words, const uint32_t* ckpt,
 }
 
 void tpubwa_smem_free(void* h) { delete (FmIdx*)h; }
+
+// attach the text-position-marked SA arrays (optional; host SA walk)
+void tpubwa_sa_init(void* h, const uint32_t* mark_rows,
+                    const int64_t* marked_vals, int64_t D) {
+    FmIdx* f = (FmIdx*)h;
+    f->mark_rows = mark_rows;
+    f->marked_vals = marked_vals;
+    f->mark_D = D;
+}
+
+// bwa's per-interval occurrence subsampling + bounded SA walks
+// (bwamem.c:mem_chain head ~330; device/pipeline.py:_sa_positions
+// mirror): rows are (x0, size); per row step = size > max_occ ?
+// size / max_occ : 1, cnt = min(ceil(size / step), max_occ); ranks
+// x0 + j * step.  out_cnt[n_rows] gets cnt; positions concatenate in
+// row order.  Returns total positions, -needed if cap was too small,
+// or INT64_MIN when marks are absent.
+int64_t tpubwa_sa_positions(void* h, const int64_t* x0,
+                            const int64_t* size, int64_t n_rows,
+                            int64_t max_occ, int64_t* out_pos,
+                            int64_t cap, int64_t* out_cnt) {
+    const FmIdx& f = *(const FmIdx*)h;
+    if (!f.mark_rows || f.mark_D <= 0) return INT64_MIN;
+    int64_t n = 0;
+    bool overflow = false;
+    for (int64_t r = 0; r < n_rows; ++r) {
+        const int64_t sz = size[r];
+        const int64_t step = sz > max_occ ? sz / max_occ : 1;
+        const int64_t cnt =
+            sz > 0 ? std::min((sz + step - 1) / step, max_occ)
+                   : 0;
+        out_cnt[r] = cnt;
+        for (int64_t j = 0; j < cnt; ++j) {
+            if (n < cap) out_pos[n] = sa_value(f, x0[r] + j * step);
+            else overflow = true;
+            ++n;
+        }
+    }
+    return overflow ? -n : n;
+}
 
 // Full 3-round mem_collect_intv for one read; rows (x0,x1,size,qb,qe)
 // sorted by (qb, qe).  Returns row count, or -needed if cap was too
