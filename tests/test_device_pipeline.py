@@ -114,7 +114,8 @@ def test_sam_identical_across_seed_modes(setup, monkeypatch):
 
     base = run("megaq")
     assert base == run("mega")
-    assert base == run("host")  # native host seeding + device rest
+    assert base == run("host")    # native host seeding + device rest
+    assert base == run("hybrid")  # split host/device seeding
 
 
 def test_device_pipeline_int64_path(monkeypatch):

@@ -300,6 +300,51 @@ def test_megaq_tail_host_vs_deep_machine(setup, monkeypatch):
         assert _key(host[i]) == want, f"host path read {i}"
 
 
+def test_hybrid_mode_equals_scalar(setup):
+    """mode='hybrid' (device megaq share + native host share merged)
+    must match the scalar oracle row-for-row, including the fused-SA
+    contract across the seam."""
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    rng = np.random.default_rng(23)
+    opt = MemOpt()
+    reads = []
+    for t in range(200):
+        start = int(rng.integers(0, len(codes) - 110))
+        q = text[start:start + 100].copy()
+        for _ in range(int(rng.integers(0, 5))):
+            q[int(rng.integers(0, 100))] = int(rng.integers(0, 5))
+        reads.append(q)
+    reads.append(np.tile(unit, 3)[:100].copy())
+    arr, lens = _pack_reads(reads, 100)
+    got = collect_intv_device(opt, didx, arr, lens, fmi=fmi,
+                              mode="hybrid")
+    for i in (0, 1, 50, 89, 90, 91, 150, 199, 200):  # spans the seam
+        want = sorted((m.x0, m.x1, m.size, m.qb, m.qe)
+                      for m in collect_intv(opt, fmi, reads[i]))
+        assert _key(got[i]) == want, f"read {i}"
+    # flat + SA contract: device share brings fused counts, host share
+    # native counts; -1 only where a fallback ran
+    flat, frid, sa = collect_intv_device(
+        opt, didx, arr, lens, fmi=fmi, mode="hybrid",
+        return_flat=True, return_sa=True)
+    assert len(flat) == len(frid) == len(sa[0])
+    from tpubwa.ref.smem import sa_positions
+    from tpubwa.ref.smem import BwtIntv
+    off = 0
+    for r in range(len(flat)):
+        cnt = int(sa[0][r])
+        if cnt < 0:
+            continue
+        iv = BwtIntv(int(flat[r, 0]), int(flat[r, 1]),
+                     int(flat[r, 2]), int(flat[r, 3]),
+                     int(flat[r, 4]))
+        want = [p for p, _ in sa_positions(fmi, iv, opt.max_occ)]
+        assert list(sa[1][off:off + cnt]) == want, f"row {r}"
+        off += cnt
+    assert off == len(sa[1])
+
+
 def test_megaq_emission_cap_retry(setup, monkeypatch):
     """Forced tiny emission buffer (CAPF) drives the global-buffer
     overflow path: flagged reads retry on the deep machine."""

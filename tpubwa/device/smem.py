@@ -397,7 +397,9 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
 
     mode: 'host' (native C++ scalar seeding on the host core, zero
     seeding dispatches — host/native_smem.py; the device keeps
-    extension/SA), 'megaq' (two-round single-dispatch machine with
+    extension/SA), 'hybrid' (TPUBWA_HYBRID_DEV_FRAC of the chunk on
+    the megaq machine overlapped with native host seeding of the
+    rest), 'megaq' (two-round single-dispatch machine with
     QUEUE-scheduled backward phases —
     smem_fused.py:smem_chunk_machine_q),
     'mega' (default; rounds 1+2 in ONE dispatch with on-device
@@ -444,6 +446,70 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
             counts = np.bincount(frid, minlength=B)
             return np.split(flat, np.cumsum(counts)[:-1])
         mode = "megaq"  # native unavailable: device path
+    if mode == "hybrid":
+        # split the chunk: the device machine seeds the first
+        # TPUBWA_HYBRID_DEV_FRAC of reads (dispatched from a worker
+        # thread so its link syncs overlap) while THIS thread seeds
+        # the rest in native C++ (ctypes releases the GIL) — both
+        # resources busy, wall = max(device share, host share).
+        frac = float(os.environ.get("TPUBWA_HYBRID_DEV_FRAC", 0.45))
+        k = int(B * frac)
+        from ..host.native_smem import (sa_positions_native,
+                                        smem_collect_batch_native)
+        if k < 64 or smem_collect_batch_native(
+                opt, fmi, reads[:0], lens[:0]) is None:
+            mode = "host" if k < 64 else "megaq"
+            return collect_intv_device(
+                opt, didx, reads, lens, fmi=fmi, mode=mode,
+                put_sharded=put_sharded, put_repl=put_repl,
+                return_flat=return_flat, return_qd=return_qd,
+                return_sa=return_sa)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(
+                collect_intv_device, opt, didx, reads[:k], lens[:k],
+                fmi=fmi, mode="megaq", put_sharded=put_sharded,
+                put_repl=put_repl, return_flat=True,
+                return_sa=return_sa)
+            host6 = smem_collect_batch_native(opt, fmi, reads[k:],
+                                              lens[k:])
+            host_sa = None
+            if return_sa and host6 is not None and len(host6):
+                host_sa = sa_positions_native(fmi, host6[:, :5],
+                                              int(opt.max_occ))
+            dev = fut.result()
+        if return_sa:
+            dflat, dfrid, dsa = dev
+        else:
+            dflat, dfrid = dev
+        flat = np.concatenate([dflat, host6[:, :5]])
+        frid = np.concatenate([dfrid, host6[:, 5] + k])
+        sa = None
+        if return_sa:
+            hcnt = np.full(len(host6), -1, np.int64)
+            hpos = np.zeros(0, np.int64)
+            if host_sa is not None:
+                hpos, hcnt = host_sa[0], host_sa[1]
+            if dsa is not None:
+                sa = (np.concatenate([dsa[0], hcnt]),
+                      np.concatenate([dsa[1], hpos]))
+            else:
+                sa = (np.concatenate(
+                    [np.full(len(dflat), -1, np.int64), hcnt]),
+                    hpos)
+        if return_flat:
+            qd = None
+            if return_qd:
+                if put_repl is None:
+                    put_repl = jnp.asarray
+                qd = put_repl(np.ascontiguousarray(reads,
+                                                   dtype=np.uint8))
+            if return_sa:
+                return ((flat, frid, qd, sa) if return_qd
+                        else (flat, frid, sa))
+            return (flat, frid, qd) if return_qd else (flat, frid)
+        counts = np.bincount(frid, minlength=B)
+        return np.split(flat, np.cumsum(counts)[:-1])
     # one H2D of the chunk's codes (uint8: the link is slow), reused by
     # all three rounds
     lens_np = np.asarray(lens, np.int32)
