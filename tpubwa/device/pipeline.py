@@ -222,8 +222,15 @@ class DeviceAligner:
         while pad < len(chunk):
             pad <<= 1
         arr, lens = self._pack(chunk, pad)
+        # single-chip default: host seeding (native C++, zero seeding
+        # dispatches/compiles, CPU-measured critical path); a mesh
+        # keeps the device machine — one host core cannot feed N
+        # chips.  TPUBWA_SEED_MODE overrides either way.
+        import os
+        mode = os.environ.get("TPUBWA_SEED_MODE") or \
+            ("host" if self.mesh is None else "megaq")
         flat, frid, qd, sa = collect_intv_device(
-            self.opt, self.didx, arr, lens, fmi=self.fmi,
+            self.opt, self.didx, arr, lens, fmi=self.fmi, mode=mode,
             put_sharded=self.put_sharded, put_repl=self.put_repl,
             return_flat=True, return_qd=True, return_sa=True)
         counts = np.bincount(frid, minlength=arr.shape[0])[:len(chunk)]
