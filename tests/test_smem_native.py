@@ -192,3 +192,25 @@ def test_sa_positions_native_equals_device(setup):
     want = np.asarray(sa_lookup(didx, jnp.asarray(ranks)))
     assert np.array_equal(cnt_n, cnt)
     assert np.array_equal(pos_n, want.astype(np.int64))
+
+
+def test_collect_batch_threads_deterministic(setup):
+    """bwa -t maps to native seeding threads; the contiguous split
+    must produce byte-identical rows for any thread count."""
+    _need_lib()
+    from tpubwa.host.native_smem import smem_collect_batch_native
+    fmi, codes, unit = setup
+    text = fmi.bnt.doubled()
+    rng = np.random.default_rng(31)
+    opt = MemOpt(max_mem_intv=20)
+    B = 40
+    arr = np.full((B, 100), 4, np.uint8)
+    lens = np.full(B, 100, np.int32)
+    for i in range(B):
+        s = int(rng.integers(0, len(codes) - 120))
+        arr[i] = text[s:s + 100]
+    one = smem_collect_batch_native(opt, fmi, arr, lens, threads=1)
+    for t in (2, 3, 7):
+        assert np.array_equal(
+            one, smem_collect_batch_native(opt, fmi, arr, lens,
+                                           threads=t)), t

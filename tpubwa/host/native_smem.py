@@ -128,7 +128,8 @@ def collect_intv_native(opt, fmi, q):
     return None  # pragma: no cover - exact retry cannot fail
 
 
-def smem_collect_batch_native(opt, fmi, reads, lens_np):
+def smem_collect_batch_native(opt, fmi, reads, lens_np,
+                              threads=None):
     """Full 3-round collect for a packed read chunk: int64 [n, 6]
     rows (x0, x1, size, qb, qe, rid), per-read (qb, qe)-sorted and
     concatenated in read order — the host seeding mode's one call.
@@ -152,6 +153,9 @@ def smem_collect_batch_native(opt, fmi, reads, lens_np):
             ctypes.c_int64(split_len),
             ctypes.c_int64(int(opt.split_width)),
             ctypes.c_int64(int(opt.max_mem_intv)),
+            ctypes.c_int64(int(threads if threads is not None
+                               else getattr(opt, "n_threads", 1)
+                               or 1)),
             out.ctypes.data_as(i64p), ctypes.c_int64(cap))
         if n >= 0:
             return out[:n]

@@ -196,7 +196,7 @@ def load_smem():
         lib.tpubwa_smem_collect_batch.restype = i64
         lib.tpubwa_smem_collect_batch.argtypes = [
             ctypes.c_void_p, u8p, i64, i32p, i64, i64, i64, i64, i64,
-            i64p, i64]
+            i64, i64p, i64]
         lib.tpubwa_smem_jobs.restype = i64
         lib.tpubwa_smem_jobs.argtypes = [
             ctypes.c_void_p, u8p, i64, i32p, i64p, i64, i64, i64, i64,

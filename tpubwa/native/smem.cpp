@@ -14,6 +14,7 @@
 #include <climits>
 #include <cstring>
 #include <vector>
+#include <thread>
 #include <algorithm>
 
 namespace {
@@ -419,7 +420,9 @@ int64_t tpubwa_smem_collect(void* h, const uint8_t* q, int64_t len,
 
 // Batched full 3-round collect for a read chunk (the host seeding
 // mode): per-read rows sorted by (qb, qe), concatenated in read
-// order, rid in column 5.  Returns row count or -needed.
+// order, rid in column 5.  nthreads > 1 splits the reads into
+// contiguous ranges (bwa -t; output order is deterministic either
+// way).  Returns row count or -needed.
 int64_t tpubwa_smem_collect_batch(void* h, const uint8_t* reads,
                                   int64_t stride, const int32_t* lens,
                                   int64_t n_reads,
@@ -427,36 +430,51 @@ int64_t tpubwa_smem_collect_batch(void* h, const uint8_t* reads,
                                   int64_t split_len,
                                   int64_t split_width,
                                   int64_t max_mem_intv,
+                                  int64_t nthreads,
                                   int64_t* out_rows, int64_t cap) {
-    int64_t n = 0;
-    bool overflow = false;
-    std::vector<int64_t> one((size_t)(4 * stride + 64) * 5);
-    for (int64_t ri = 0; ri < n_reads; ++ri) {
-        const uint8_t* q = reads + ri * stride;
-        int64_t c = (int64_t)one.size() / 5;
-        int64_t m = tpubwa_smem_collect(h, q, lens[ri], min_seed_len,
-                                        split_len, split_width,
-                                        max_mem_intv, one.data(), c);
-        if (m < 0) {
-            one.resize((size_t)(-m) * 5);
-            m = tpubwa_smem_collect(h, q, lens[ri], min_seed_len,
-                                    split_len, split_width,
-                                    max_mem_intv, one.data(),
-                                    -m);
-        }
-        for (int64_t i = 0; i < m; ++i) {
-            if (n < cap) {
-                int64_t* r = out_rows + n * 6;
-                std::memcpy(r, one.data() + i * 5,
-                            5 * sizeof(int64_t));
-                r[5] = ri;
-            } else {
-                overflow = true;
+    const int64_t T = std::max<int64_t>(
+        1, std::min<int64_t>(nthreads, n_reads));
+    std::vector<std::vector<int64_t>> parts((size_t)T);
+    auto work = [&](int64_t t) {
+        const int64_t lo = n_reads * t / T;
+        const int64_t hi = n_reads * (t + 1) / T;
+        std::vector<int64_t>& out = parts[(size_t)t];
+        std::vector<int64_t> one((size_t)(4 * stride + 64) * 5);
+        for (int64_t ri = lo; ri < hi; ++ri) {
+            const uint8_t* q = reads + ri * stride;
+            int64_t c = (int64_t)one.size() / 5;
+            int64_t m = tpubwa_smem_collect(
+                h, q, lens[ri], min_seed_len, split_len, split_width,
+                max_mem_intv, one.data(), c);
+            if (m < 0) {
+                one.resize((size_t)(-m) * 5);
+                m = tpubwa_smem_collect(
+                    h, q, lens[ri], min_seed_len, split_len,
+                    split_width, max_mem_intv, one.data(), -m);
             }
-            ++n;
+            for (int64_t i = 0; i < m; ++i) {
+                out.insert(out.end(), one.begin() + i * 5,
+                           one.begin() + i * 5 + 5);
+                out.push_back(ri);
+            }
         }
+    };
+    if (T == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> th;
+        for (int64_t t = 0; t < T; ++t) th.emplace_back(work, t);
+        for (auto& x : th) x.join();
     }
-    return overflow ? -n : n;
+    int64_t n = 0;
+    for (auto& p : parts) n += (int64_t)p.size() / 6;
+    if (n > cap) return -n;
+    int64_t* w = out_rows;
+    for (auto& p : parts) {
+        std::memcpy(w, p.data(), p.size() * sizeof(int64_t));
+        w += p.size();
+    }
+    return n;
 }
 
 // The _scalar_full job batch (device/smem_fused.py): jobs are
