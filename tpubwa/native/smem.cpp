@@ -36,7 +36,9 @@ struct Intv {
     int32_t qb, qe;
 };
 
-// counts of each base in stored BWT[0..k] inclusive (k in [-1, n-1])
+// counts of each base in stored BWT[0..k] inclusive (k in [-1, n-1]).
+// One pass per word: 2-bit value histogram from 3 popcounts (c0 from
+// the kept-pair count).
 static void occ4_stored(const FmIdx& f, int64_t k, int64_t out[4]) {
     if (k < 0) { out[0] = out[1] = out[2] = out[3] = 0; return; }
     const int64_t blk = k >> 7;
@@ -51,11 +53,14 @@ static void occ4_stored(const FmIdx& f, int64_t k, int64_t out[4]) {
         const uint32_t w = f.words[w0 + i];
         const uint32_t keep = (i == nw - 1 && rem)
             ? (0xFFFFFFFFu << (32 - 2 * rem)) : 0xFFFFFFFFu;
-        for (int c = 0; c < 4; ++c) {
-            const uint32_t x = w ^ (0x55555555u * (uint32_t)c);
-            uint32_t y = (~x) & ((~x) >> 1) & 0x55555555u & keep;
-            cnt[c] += __builtin_popcount(y);
-        }
+        const uint32_t M = 0x55555555u & keep;   // kept pair slots
+        const uint32_t hi = (w >> 1) & M;
+        const uint32_t lo = w & M;
+        const int c3 = __builtin_popcount(hi & lo);
+        const int c2 = __builtin_popcount(hi & ~lo);
+        const int c1 = __builtin_popcount(lo & ~hi);
+        cnt[0] += __builtin_popcount(M) - c1 - c2 - c3;
+        cnt[1] += c1; cnt[2] += c2; cnt[3] += c3;
     }
     out[0] = cnt[0]; out[1] = cnt[1]; out[2] = cnt[2]; out[3] = cnt[3];
 }
@@ -181,7 +186,8 @@ static int64_t smem1a(const FmIdx& f, const uint8_t* q, int64_t len,
         mem_out.push_back(ik);
         return x + 1;
     }
-    std::vector<Intv> curr, prev;
+    static thread_local std::vector<Intv> curr, prev;
+    curr.clear(); prev.clear();
     Intv ok[4];
     int64_t i = x + 1;
     while (i < len) {
