@@ -150,14 +150,72 @@ static Intv set_intv(const FmIdx& f, int c) {
     return ik;
 }
 
+// occ4 at two conceptual positions a <= b; when both stored indices
+// land in the same 128-base block (common: b - a = interval size,
+// usually small), one word scan serves both cutoffs.
+static void occ4_pair(const FmIdx& f, int64_t a, int64_t b,
+                      int64_t oa[4], int64_t ob[4]) {
+    if (a < 0 || a == f.seq_len || b == f.seq_len) {
+        occ4(f, a, oa);
+        occ4(f, b, ob);
+        return;
+    }
+    const int64_t ka = a - (a >= f.primary ? 1 : 0);
+    const int64_t kb = b - (b >= f.primary ? 1 : 0);
+    if ((ka >> 7) != (kb >> 7)) {
+        occ4(f, a, oa);
+        occ4(f, b, ob);
+        return;
+    }
+    const int64_t blk = ka >> 7;
+    const uint32_t* ck = f.ckpt + blk * 4;
+    const int64_t start = blk << 7;
+    const int64_t w0 = blk * 8;
+    const int64_t na = ka - start + 1;       // bases for a's cutoff
+    const int64_t nb = kb - start + 1;       // bases for b's cutoff
+    const int64_t nw = (nb + 15) >> 4;
+    int64_t ca[4] = {ck[0], ck[1], ck[2], ck[3]};
+    int64_t cb[4] = {ck[0], ck[1], ck[2], ck[3]};
+    for (int64_t i = 0; i < nw; ++i) {
+        const uint32_t w = f.words[w0 + i];
+        const int64_t base = i << 4;
+        // b's kept pairs in this word
+        const int remb = (int)(nb - base >= 16 ? 16 : nb - base);
+        const uint32_t keepb =
+            remb >= 16 ? 0xFFFFFFFFu : (0xFFFFFFFFu << (32 - 2 * remb));
+        const uint32_t Mb = 0x55555555u & keepb;
+        const uint32_t hi = (w >> 1) & Mb;
+        const uint32_t lo = w & Mb;
+        const int c3 = __builtin_popcount(hi & lo);
+        const int c2 = __builtin_popcount(hi & ~lo);
+        const int c1 = __builtin_popcount(lo & ~hi);
+        const int c0 = __builtin_popcount(Mb) - c1 - c2 - c3;
+        cb[0] += c0; cb[1] += c1; cb[2] += c2; cb[3] += c3;
+        const int64_t ra = na - base;
+        if (ra >= 16) {                      // word fully inside a
+            ca[0] += c0; ca[1] += c1; ca[2] += c2; ca[3] += c3;
+        } else if (ra > 0) {                 // a's partial word
+            const uint32_t Ma =
+                0x55555555u & (0xFFFFFFFFu << (32 - 2 * (int)ra));
+            const uint32_t hia = (w >> 1) & Ma;
+            const uint32_t loa = w & Ma;
+            const int a3 = __builtin_popcount(hia & loa);
+            const int a2 = __builtin_popcount(hia & ~loa);
+            const int a1 = __builtin_popcount(loa & ~hia);
+            ca[0] += __builtin_popcount(Ma) - a1 - a2 - a3;
+            ca[1] += a1; ca[2] += a2; ca[3] += a3;
+        }
+    }
+    for (int c = 0; c < 4; ++c) { oa[c] = ca[c]; ob[c] = cb[c]; }
+}
+
 // bwt.c:~240 — extend by one base; ok[4] indexed by extension base
 static void bwt_extend(const FmIdx& f, const Intv& ik, bool is_back,
                        Intv ok[4]) {
     const int64_t piv = is_back ? ik.x0 : ik.x1;
     const int64_t oth = is_back ? ik.x1 : ik.x0;
     int64_t tk[4], tl[4];
-    occ4(f, piv - 1, tk);
-    occ4(f, piv - 1 + ik.size, tl);
+    occ4_pair(f, piv - 1, piv - 1 + ik.size, tk, tl);
     for (int c = 0; c < 4; ++c) {
         const int64_t new_piv = f.L2[c] + 1 + tk[c];
         ok[c].size = tl[c] - tk[c];
@@ -218,7 +276,18 @@ static int64_t smem1a(const FmIdx& f, const uint8_t* q, int64_t len,
     while (i >= -1) {
         const int c = (i < 0 || q[i] > 3) ? -1 : (int)q[i];
         curr.clear();
-        for (const Intv& p : prev) {
+        for (size_t pj = 0; pj < prev.size(); ++pj) {
+            const Intv& p = prev[pj];
+            if (pj + 1 < prev.size()) {
+                // the scans are memory-latency-bound: overlap the
+                // next stack entry's block fetches with this one
+                const int64_t np = prev[pj + 1].x0 - 1;
+                const int64_t nk = np - (np >= f.primary ? 1 : 0);
+                if (nk >= 0) {
+                    __builtin_prefetch(f.words + (nk >> 7) * 8);
+                    __builtin_prefetch(f.ckpt + (nk >> 7) * 4);
+                }
+            }
             bool has_ok = false;
             if (c >= 0 && ik.size >= max_intv) {
                 bwt_extend(f, p, true, ok);
