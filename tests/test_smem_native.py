@@ -214,3 +214,34 @@ def test_collect_batch_threads_deterministic(setup):
         assert np.array_equal(
             one, smem_collect_batch_native(opt, fmi, arr, lens,
                                            threads=t)), t
+
+
+def test_host_mode_on_markless_bwa_index(setup, tmp_path,
+                                         monkeypatch):
+    """A stock-bwa-format index has no SA marks: native seeding still
+    serves, the native SA walk declines (None), and the device
+    rank-walk serves — regions equal the marked npz index's."""
+    _need_lib()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from tpubwa.device.pipeline import make_device_aligner
+    from tpubwa.host.native_smem import sa_positions_native
+    from tpubwa.io.fastq import Read
+    fmi, codes, unit = setup
+    prefix = str(tmp_path / "g")
+    fmi.save_bwa(prefix)
+    f2 = FMIndex.load_bwa(prefix)
+    assert not f2.sa_mark_D
+    rows = collect_intv_native(MemOpt(), f2, codes[100:200])
+    assert rows is not None and len(rows)
+    assert sa_positions_native(f2, rows, 500) is None
+    monkeypatch.setenv("TPUBWA_SEED_MODE", "host")
+    opt = MemOpt()
+    reads = [Read(name=f"r{i}", seq=codes[i * 31:i * 31 + 80].copy(),
+                  qual=None) for i in range(15)]
+    r1 = make_device_aligner(opt, fmi, platform="cpu")(reads)
+    r2 = make_device_aligner(opt, f2, platform="cpu")(reads)
+    for i in range(len(reads)):
+        k1 = [(x.rb, x.re, x.qb, x.qe, x.score) for x in r1[i]]
+        k2 = [(x.rb, x.re, x.qb, x.qe, x.score) for x in r2[i]]
+        assert k1 == k2, i
