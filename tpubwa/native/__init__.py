@@ -31,7 +31,7 @@ def _build(src_name: str, tag: str, deps=()) -> Path:
     so = _CACHE / f"{tag}-{h}.so"
     if not so.exists():
         cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-               "-std=c++17", str(src), "-o", str(so) + ".tmp"]
+               "-std=c++20", str(src), "-o", str(so) + ".tmp"]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(str(so) + ".tmp", so)
     return so
@@ -116,7 +116,7 @@ def load_fastq():
         so = _CACHE / f"fastq-{h}.so"
         if not so.exists():
             cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                   "-std=c++17", str(src), "-lz", "-o", str(so) + ".tmp"]
+                   "-std=c++20", str(src), "-lz", "-o", str(so) + ".tmp"]
             subprocess.run(cmd, check=True, capture_output=True)
             os.replace(str(so) + ".tmp", so)
         lib = ctypes.CDLL(str(so))
