@@ -117,8 +117,15 @@ class DeviceAligner:
         # read-length bucket instead of once per batch size (compiles
         # are ~10 s each — they dominated wall time before this).
         import os as _os
+        seed_mode = _os.environ.get("TPUBWA_SEED_MODE") or \
+            ("host" if mesh is None else "megaq")
+        # host seeding has NO device seeding programs, so a bigger
+        # chunk costs no new compiles and halves the per-read share
+        # of extension dispatches + link syncs; the machine modes keep
+        # 8192 (16k machines measured super-linear)
+        default_chunk = 16384 if seed_mode == "host" else 8192
         self.chunk_reads = int(_os.environ.get("TPUBWA_CHUNK_READS",
-                                               8192))
+                                               default_chunk))
 
     # -------------------------------------------------------------
     def _pack(self, reads: Sequence[Read], pad_to: int):
