@@ -144,11 +144,19 @@ def main():
         lines.append(
             f"| {nprocs} host-process (CPU, device pipeline) | {dt:.1f} s | "
             f"{rps:.0f} | {rps / base:.2f}x | byte-identical |")
+    lines += [
+        "",
+        "## 1-chip row (real TPU)",
+        "",
+        "- Round-2 session measurement (2026-08-17, bench.py "
+        "median-of-3, mega seeding machine): **5,415 reads/s** — "
+        "chr20-scale 64 Mb genome, 100 bp PE; attempts "
+        "5392/5415/5594.  The host-seeding default landed after the "
+        "chip tunnel died (docs/PERF_NOTES.md), so its chip number "
+        "is pending the next driver bench run.",
+    ]
     if bench:
         lines += [
-            "",
-            "## 1-chip row (real TPU, from the driver's bench run)",
-            "",
             f"- `{bench.get('_file')}`: **{bench.get('value')} "
             f"{bench.get('unit', '')}** — `{bench.get('metric')}`, "
             f"vs_baseline {bench.get('vs_baseline')} (baseline = "
