@@ -161,8 +161,11 @@ def _attempt(log):
         log(f"[bench] GCUPS microbench failed ({e}); continuing")
 
     # warmup: same chunk shapes as the measurement so every device
-    # program compiles before the timed run
-    warm = simulate(fmi, 4096, 100, rng)
+    # program compiles before the timed run — the measured batches are
+    # 8192 pairs, so warm with 8192 pairs too (the extension wave's
+    # padded job count is shape-relevant: a 16384-read chunk pads its
+    # descriptor wave to a different pow2 than an 8192-read one)
+    warm = simulate(fmi, 8192, 100, rng)
     t0 = time.time()
     process_seqs(opt, fmi, warm, 0, align_fn=aligner)
     log(f"[bench] warmup batch (compiles): {time.time() - t0:.1f}s")

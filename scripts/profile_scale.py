@@ -122,7 +122,8 @@ def main():
     import tpubwa.device.extend_fused as ef
     wrap(ef, "extend_seed_desc_np", "  extend-desc(sync)")
 
-    warm = simulate(fmi, 4096, 100, rng)
+    warm = simulate(fmi, max(args.pairs // args.batches, 64), 100,
+                    rng)
     t0 = time.time()
     process_seqs(opt, fmi, warm, 0, align_fn=aligner)
     print(f"[prof] warmup (compiles): {time.time() - t0:.1f}s",
