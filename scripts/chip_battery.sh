@@ -30,4 +30,6 @@ run hybrid60 1200 TPUBWA_SEED_MODE=hybrid TPUBWA_HYBRID_DEV_FRAC=0.6
 echo "=== gather_scale ($(date +%H:%M:%S)) ===" >> /tmp/battery.log
 timeout 900 python -u scripts/exp_gather_scale.py --sizes-mb 1,8,64,256 --widths 4,12 > /tmp/exp_gather.log 2>&1
 grep "\[exp\]" /tmp/exp_gather.log >> /tmp/battery.log
+timeout 1800 python -u bench.py > /tmp/bench_live.json 2>/tmp/bench_live.log
+tail -1 /tmp/bench_live.json >> /tmp/battery.log
 echo "=== battery done ($(date +%H:%M:%S)) ===" >> /tmp/battery.log
