@@ -300,10 +300,13 @@ def test_megaq_tail_host_vs_deep_machine(setup, monkeypatch):
         assert _key(host[i]) == want, f"host path read {i}"
 
 
-def test_hybrid_mode_equals_scalar(setup):
+def test_hybrid_mode_equals_scalar(setup, monkeypatch):
     """mode='hybrid' (device megaq share + native host share merged)
     must match the scalar oracle row-for-row, including the fused-SA
-    contract across the seam."""
+    contract across the seam.  AUTO=0 pins the split: on CPU the
+    auto-balancer correctly drives the device fraction to the floor
+    (degrading to host mode), which would bypass the seam."""
+    monkeypatch.setenv("TPUBWA_HYBRID_AUTO", "0")
     fmi, didx, codes, unit = setup
     text = fmi.bnt.doubled()
     rng = np.random.default_rng(23)

@@ -375,6 +375,9 @@ def _permute_segments(cnt, pos, order):
     return c2, pos[sel]
 
 
+_HYBRID_STATE: dict = {}
+
+
 def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                         lens: np.ndarray, fmi=None,
                         use_cursor: bool = True,
@@ -453,6 +456,10 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
         # the rest in native C++ (ctypes releases the GIL) — both
         # resources busy, wall = max(device share, host share).
         frac = float(os.environ.get("TPUBWA_HYBRID_DEV_FRAC", 0.45))
+        auto = os.environ.get("TPUBWA_HYBRID_AUTO", "1") != "0"
+        st = _HYBRID_STATE.setdefault(id(didx), {"f": frac})
+        if auto:
+            frac = st["f"]
         k = int(B * frac)
         from ..host.native_smem import (sa_positions_native,
                                         smem_collect_batch_native)
@@ -465,7 +472,9 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                 return_flat=return_flat, return_qd=return_qd,
                 return_sa=return_sa)
         from concurrent.futures import ThreadPoolExecutor
+        import time as _time
         with ThreadPoolExecutor(1) as ex:
+            t0 = _time.perf_counter()
             fut = ex.submit(
                 collect_intv_device, opt, didx, reads[:k], lens[:k],
                 fmi=fmi, mode="megaq", put_sharded=put_sharded,
@@ -477,7 +486,19 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
             if return_sa and host6 is not None and len(host6):
                 host_sa = sa_positions_native(fmi, host6[:, :5],
                                               int(opt.max_occ))
+            t_host = _time.perf_counter() - t0
             dev = fut.result()
+            t_dev = _time.perf_counter() - t0
+        if auto and t_host > 1e-4 and t_dev > 1e-4:
+            # balance the two walls: per-read device rate ~ t_dev/k,
+            # host rate ~ t_host/(B-k); equal walls at
+            # f* = (t_host/(B-k)) / (t_host/(B-k) + t_dev/k) * ...
+            # solved directly: f* such that f*/rate_d == (1-f*)/rate_h
+            rate_d = k / t_dev                 # reads/s device share
+            rate_h = (B - k) / t_host          # reads/s host share
+            f_star = rate_d / (rate_d + rate_h)
+            f_new = 0.5 * st["f"] + 0.5 * f_star   # damped
+            st["f"] = float(min(max(f_new, 0.15), 0.85))
         if return_sa:
             dflat, dfrid, dsa = dev
         else:
