@@ -18,15 +18,15 @@ run() {
   fi
   sleep 30
 }
-run mega     900  TPUBWA_SEED_MODE=mega
+run host     1200 TPUBWA_SEED_MODE=host
+run hybrid   1200 TPUBWA_SEED_MODE=hybrid
 run megaq    1200 TPUBWA_SEED_MODE=megaq
+run mega     900  TPUBWA_SEED_MODE=mega
+run host16k  1200 TPUBWA_SEED_MODE=host TPUBWA_CHUNK_READS=16384
 run megaq16k 1200 TPUBWA_SEED_MODE=megaq TPUBWA_CHUNK_READS=16384
 run megaqml2 1200 TPUBWA_SEED_MODE=megaq TPUBWA_QB_MLX=2
 run megaqnsa 1200 TPUBWA_SEED_MODE=megaq TPUBWA_NO_SA_FUSE=1
-run host     1200 TPUBWA_SEED_MODE=host
-run host16k  1200 TPUBWA_SEED_MODE=host TPUBWA_CHUNK_READS=16384
-run hybrid   1200 TPUBWA_SEED_MODE=hybrid
-run hybrid60 1200 TPUBWA_SEED_MODE=hybrid TPUBWA_HYBRID_DEV_FRAC=0.6
+run hybrid60 1200 TPUBWA_SEED_MODE=hybrid TPUBWA_HYBRID_DEV_FRAC=0.6 TPUBWA_HYBRID_AUTO=0
 echo "=== gather_scale ($(date +%H:%M:%S)) ===" >> /tmp/battery.log
 timeout 900 python -u scripts/exp_gather_scale.py --sizes-mb 1,8,64,256 --widths 4,12 > /tmp/exp_gather.log 2>&1
 grep "\[exp\]" /tmp/exp_gather.log >> /tmp/battery.log
