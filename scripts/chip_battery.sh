@@ -22,7 +22,7 @@ run host     1200 TPUBWA_SEED_MODE=host
 run hybrid   1200 TPUBWA_SEED_MODE=hybrid
 run megaq    1200 TPUBWA_SEED_MODE=megaq
 run mega     900  TPUBWA_SEED_MODE=mega
-run host16k  1200 TPUBWA_SEED_MODE=host TPUBWA_CHUNK_READS=16384
+run host8k   1200 TPUBWA_SEED_MODE=host TPUBWA_CHUNK_READS=8192
 run megaq16k 1200 TPUBWA_SEED_MODE=megaq TPUBWA_CHUNK_READS=16384
 run megaqml2 1200 TPUBWA_SEED_MODE=megaq TPUBWA_QB_MLX=2
 run megaqnsa 1200 TPUBWA_SEED_MODE=megaq TPUBWA_NO_SA_FUSE=1
