@@ -62,3 +62,21 @@ def test_many_tiny_contigs(monkeypatch):
     reads = ["".join("ACGT"[c] for c in rng.integers(0, 4, 70))
              for _ in range(4)]
     _run_case(monkeypatch, contigs, reads)
+
+
+def test_max_occ_zero(monkeypatch):
+    """-c 0 (bwa's max-occurrence flag at its degenerate floor) must
+    not crash the native SA path (was a SIGFPE: sz / max_occ)."""
+    rng = np.random.default_rng(11)
+    rand = "".join("ACGT"[c] for c in rng.integers(0, 4, 3000))
+    d = tempfile.mkdtemp()
+    fa = os.path.join(d, "r.fa")
+    open(fa, "w").write(f">s\n{rand}\n")
+    assert main_index([fa]) == 0
+    fq = os.path.join(d, "r.fq")
+    open(fq, "w").write(f"@q\n{rand[100:200]}\n+\n{'I' * 100}\n")
+    for mode in ("host", "megaq"):
+        monkeypatch.setenv("TPUBWA_SEED_MODE", mode)
+        out = io.StringIO()
+        assert main_mem(["--device", "cpu", "-c", "0", fa, fq],
+                        out=out) == 0, mode

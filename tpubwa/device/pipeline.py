@@ -69,8 +69,6 @@ class DeviceAligner:
 
     def __init__(self, opt: MemOpt, fmi: FMIndex, platform: str = "auto",
                  use_pallas: bool = True, mesh=None):
-        from ..utils import enable_compilation_cache
-        enable_compilation_cache(platform)
         self.opt = opt
         self.fmi = fmi
         self.mat = opt.scoring_matrix()
@@ -103,6 +101,12 @@ class DeviceAligner:
             self.didx = DeviceIndex.from_fmindex(fmi, device=self.device)
             self.put_sharded = jnp.asarray
             self.put_repl = jnp.asarray
+        # after device resolution: an auto->CPU fallback has set
+        # jax.config by now, so the cache guard sees the real platform
+        # (enabling it earlier re-opened the CPU AOT-cache hazard);
+        # the cache dir only needs to be set before the first compile
+        from ..utils import enable_compilation_cache
+        enable_compilation_cache(platform)
         self.extender = WaveExtender(opt, self.mat,
                                      use_pallas=use_pallas, fused=True,
                                      mesh=mesh)
@@ -122,8 +126,12 @@ class DeviceAligner:
         # host seeding has NO device seeding programs, so a bigger
         # chunk costs no new compiles and halves the per-read share
         # of extension dispatches + link syncs; the machine modes keep
-        # 8192 (16k machines measured super-linear)
-        default_chunk = 16384 if seed_mode == "host" else 8192
+        # 8192 (16k machines measured super-linear).  Host mode without
+        # the native lib degrades to the machine path per chunk, so the
+        # 16k default also requires the lib.
+        from ..host.native_smem import _lib as _smem_lib
+        default_chunk = 16384 if (seed_mode == "host"
+                                  and _smem_lib() is not None) else 8192
         self.chunk_reads = int(_os.environ.get("TPUBWA_CHUNK_READS",
                                                default_chunk))
 
@@ -157,6 +165,9 @@ class DeviceAligner:
         flat, _counts = intv
         if not len(flat):
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        if self.opt.max_occ <= 0:    # -c 0: every seed over-occ
+            return (np.zeros(0, np.int64),
+                    np.zeros(len(flat), np.int64))
         # native host walk first (bounded by the text-position marks,
         # ~1 us/position): beats a device dispatch + link sync for
         # every caller — the host seeding mode, megaq's -1 spill rows,
@@ -190,6 +201,8 @@ class DeviceAligner:
         lookup.  Same contract as `_sa_positions`."""
         if not len(flat):
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        if self.opt.max_occ <= 0:    # -c 0: no samples anywhere
+            return np.zeros(0, np.int64), np.zeros(len(flat), np.int64)
         size = flat[:, 2]
         step = np.where(size > self.opt.max_occ,
                         size // self.opt.max_occ, 1)

@@ -375,7 +375,26 @@ def _permute_segments(cnt, pos, order):
     return c2, pos[sel]
 
 
+def _package_rows(flat, frid, sa, B, reads, put_repl,
+                  return_flat, return_qd, return_sa):
+    """The collect_intv_device return contract, shared by the host and
+    hybrid early-exit paths (rows already in (rid, qb, qe) order)."""
+    if return_flat:
+        qd = None
+        if return_qd:
+            if put_repl is None:
+                put_repl = jnp.asarray
+            qd = put_repl(np.ascontiguousarray(reads, dtype=np.uint8))
+        if return_sa:
+            return (flat, frid, qd, sa) if return_qd else \
+                (flat, frid, sa)
+        return (flat, frid, qd) if return_qd else (flat, frid)
+    counts = np.bincount(frid, minlength=B)
+    return np.split(flat, np.cumsum(counts)[:-1])
+
+
 _HYBRID_STATE: dict = {}
+_MEGAQ_BROKEN = [False]
 
 
 def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
@@ -417,6 +436,8 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
         # docs/PERF_NOTES.md round-2 notes)
         mode = os.environ.get("TPUBWA_SEED_MODE",
                               "megaq" if use_cursor else "reach")
+    if mode == "megaq" and _MEGAQ_BROKEN[0]:
+        mode = "mega"
     if mode != "reach" and fmi is None:
         mode = "reach"
     use_cursor = mode != "reach"
@@ -434,20 +455,10 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
             flat = rows6[:, :5]
             frid = rows6[:, 5]
             # rid-major with per-read (qb, qe) sort == the global
-            # lexsort contract
-            if return_flat:
-                qd = None
-                if return_qd:
-                    if put_repl is None:
-                        put_repl = jnp.asarray
-                    qd = put_repl(np.ascontiguousarray(
-                        reads, dtype=np.uint8))
-                if return_sa:
-                    return ((flat, frid, qd, None) if return_qd
-                            else (flat, frid, None))
-                return (flat, frid, qd) if return_qd else (flat, frid)
-            counts = np.bincount(frid, minlength=B)
-            return np.split(flat, np.cumsum(counts)[:-1])
+            # lexsort contract; SA left to the caller (sa=None ->
+            # native/classic SA stage)
+            return _package_rows(flat, frid, None, B, reads, put_repl,
+                                 return_flat, return_qd, return_sa)
         mode = "megaq"  # native unavailable: device path
     if mode == "hybrid":
         # split the chunk: the device machine seeds the first
@@ -457,7 +468,13 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
         # resources busy, wall = max(device share, host share).
         frac = float(os.environ.get("TPUBWA_HYBRID_DEV_FRAC", 0.45))
         auto = os.environ.get("TPUBWA_HYBRID_AUTO", "1") != "0"
-        st = _HYBRID_STATE.setdefault(id(didx), {"f": frac})
+        st = getattr(didx, "_hybrid_state", None)
+        if st is None:
+            st = {"f": frac}
+            try:
+                object.__setattr__(didx, "_hybrid_state", st)
+            except Exception:   # frozen/slots: bounded id-keyed dict
+                st = _HYBRID_STATE.setdefault(id(didx), st)
         if auto:
             frac = st["f"]
         k = int(B * frac)
@@ -473,13 +490,23 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                 return_sa=return_sa)
         from concurrent.futures import ThreadPoolExecutor
         import time as _time
+        dev_wall = [0.0]
+
+        def _dev_share():
+            # timed INSIDE the worker: fut.result() is only observed
+            # after the host share finishes, which would make the
+            # measured device wall >= the host wall and the balancer
+            # monotone-shrinking
+            t = _time.perf_counter()
+            r = collect_intv_device(
+                opt, didx, reads[:k], lens[:k], fmi=fmi, mode="megaq",
+                put_sharded=put_sharded, put_repl=put_repl,
+                return_flat=True, return_sa=return_sa)
+            dev_wall[0] = _time.perf_counter() - t
+            return r
         with ThreadPoolExecutor(1) as ex:
             t0 = _time.perf_counter()
-            fut = ex.submit(
-                collect_intv_device, opt, didx, reads[:k], lens[:k],
-                fmi=fmi, mode="megaq", put_sharded=put_sharded,
-                put_repl=put_repl, return_flat=True,
-                return_sa=return_sa)
+            fut = ex.submit(_dev_share)
             host6 = smem_collect_batch_native(opt, fmi, reads[k:],
                                               lens[k:])
             host_sa = None
@@ -488,17 +515,17 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                                               int(opt.max_occ))
             t_host = _time.perf_counter() - t0
             dev = fut.result()
-            t_dev = _time.perf_counter() - t0
+            t_dev = dev_wall[0]
         if auto and t_host > 1e-4 and t_dev > 1e-4:
-            # balance the two walls: per-read device rate ~ t_dev/k,
-            # host rate ~ t_host/(B-k); equal walls at
-            # f* = (t_host/(B-k)) / (t_host/(B-k) + t_dev/k) * ...
-            # solved directly: f* such that f*/rate_d == (1-f*)/rate_h
-            rate_d = k / t_dev                 # reads/s device share
-            rate_h = (B - k) / t_host          # reads/s host share
-            f_star = rate_d / (rate_d + rate_h)
-            f_new = 0.5 * st["f"] + 0.5 * f_star   # damped
-            st["f"] = float(min(max(f_new, 0.15), 0.85))
+            if st.get("cold", True):
+                st["cold"] = False   # first chunk pays compiles; skip
+            else:
+                # equal-wall split: f* / rate_d == (1 - f*) / rate_h
+                rate_d = k / t_dev             # reads/s device share
+                rate_h = (B - k) / t_host      # reads/s host share
+                f_star = rate_d / (rate_d + rate_h)
+                f_new = 0.5 * st["f"] + 0.5 * f_star   # damped
+                st["f"] = float(min(max(f_new, 0.15), 0.85))
         if return_sa:
             dflat, dfrid, dsa = dev
         else:
@@ -518,19 +545,8 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                 sa = (np.concatenate(
                     [np.full(len(dflat), -1, np.int64), hcnt]),
                     hpos)
-        if return_flat:
-            qd = None
-            if return_qd:
-                if put_repl is None:
-                    put_repl = jnp.asarray
-                qd = put_repl(np.ascontiguousarray(reads,
-                                                   dtype=np.uint8))
-            if return_sa:
-                return ((flat, frid, qd, sa) if return_qd
-                        else (flat, frid, sa))
-            return (flat, frid, qd) if return_qd else (flat, frid)
-        counts = np.bincount(frid, minlength=B)
-        return np.split(flat, np.cumsum(counts)[:-1])
+        return _package_rows(flat, frid, sa, B, reads, put_repl,
+                             return_flat, return_qd, return_sa)
     # one H2D of the chunk's codes (uint8: the link is slow), reused by
     # all three rounds
     lens_np = np.asarray(lens, np.int32)
@@ -575,13 +591,16 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                 # has more moving parts (queue scatters); if a backend
                 # rejects it, degrade to the proven mega machine for
                 # the rest of the process instead of failing the run.
+                # A module flag, NOT an env write: mutating
+                # TPUBWA_SEED_MODE would hijack an explicit
+                # hybrid/host selection and leak into children.
                 if os.environ.get("TPUBWA_SEED_MODE") == "megaq":
                     raise  # explicit request: surface the error
                 import logging
                 logging.getLogger("tpubwa").warning(
                     "megaq seeding machine failed; falling back to "
                     "mega for this process", exc_info=True)
-                os.environ["TPUBWA_SEED_MODE"] = "mega"
+                _MEGAQ_BROKEN[0] = True
                 return collect_intv_device(
                     opt, didx, reads, lens, fmi=fmi, mode="mega",
                     put_sharded=put_sharded, put_repl=put_repl,

@@ -1107,6 +1107,9 @@ def _sa_segments(rows_cat, sa_pos, SCAP, max_occ):
     (cnt [R] — -1 for the spilled SUFFIX whose positions the host
     must compute, starts [R])."""
     size = rows_cat[:, 2]
+    if max_occ <= 0:            # -c 0: every seed over-occ, no samples
+        return (np.zeros(len(rows_cat), np.int64),
+                np.zeros(len(rows_cat), np.int64))
     step = np.where(size > max_occ, size // max_occ, 1)
     cnt = np.minimum((size + step - 1) // step, max_occ)
     ends = np.cumsum(cnt)

@@ -422,6 +422,10 @@ int64_t tpubwa_sa_positions(void* h, const int64_t* x0,
                             int64_t cap, int64_t* out_cnt) {
     const FmIdx& f = *(const FmIdx*)h;
     if (!f.mark_rows || f.mark_D <= 0) return INT64_MIN;
+    if (max_occ <= 0) {              // -c 0: every seed over-occ
+        for (int64_t r = 0; r < n_rows; ++r) out_cnt[r] = 0;
+        return 0;
+    }
     int64_t n = 0;
     bool overflow = false;
     for (int64_t r = 0; r < n_rows; ++r) {
