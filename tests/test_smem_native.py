@@ -245,3 +245,39 @@ def test_host_mode_on_markless_bwa_index(setup, tmp_path,
         k1 = [(x.rb, x.re, x.qb, x.qe, x.score) for x in r1[i]]
         k2 = [(x.rb, x.re, x.qb, x.qe, x.score) for x in r2[i]]
         assert k1 == k2, i
+
+
+def test_native_fuzz_block_boundary_genomes(tmp_path):
+    """Native vs oracle across genome sizes straddling the occ-block
+    (128) and word (16) boundaries, with poly/periodic texts and all
+    round-3 settings — the index-arithmetic edge cases."""
+    _need_lib()
+    rng = np.random.default_rng(2024)
+    trials = 0
+    for n in (127, 128, 129, 2048, 2049):
+        for rep in range(3):
+            codes = rng.integers(0, 4, n).astype(np.uint8)
+            if rep == 1 and n >= 128:
+                codes[: n // 2] = codes[0]
+            if rep == 2:
+                codes = np.tile(codes[:16], n // 16 + 1)[:n].copy()
+            p = tmp_path / f"g{n}_{rep}.fa"
+            p.write_text(">g\n" + "".join("ACGT"[c] for c in codes)
+                         + "\n")
+            fmi = FMIndex.from_fasta(str(p))
+            for mmi in (0, 20):
+                opt = MemOpt(max_mem_intv=mmi)
+                for t in range(3):
+                    L = int(rng.integers(5, min(n, 150)))
+                    s = int(rng.integers(0, n - L + 1))
+                    q = np.asarray(fmi.bnt.doubled()[s:s + L]).copy()
+                    for _ in range(int(rng.integers(0, 4))):
+                        q[int(rng.integers(0, L))] = \
+                            int(rng.integers(0, 5))
+                    want = [(m.x0, m.x1, m.size, m.qb, m.qe)
+                            for m in collect_intv(opt, fmi, q)]
+                    got = collect_intv_native(opt, fmi, q)
+                    assert [tuple(int(v) for v in r)
+                            for r in got] == want, (n, rep, mmi, t)
+                    trials += 1
+    assert trials == 90
