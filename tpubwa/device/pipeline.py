@@ -173,7 +173,8 @@ class DeviceAligner:
         # every caller — the host seeding mode, megaq's -1 spill rows,
         # and the classic path alike
         from ..host.native_smem import sa_positions_native
-        nat = sa_positions_native(self.fmi, flat, self.opt.max_occ)
+        nat = sa_positions_native(self.fmi, flat, self.opt.max_occ,
+                                  threads=self.opt.n_threads)
         if nat is not None:
             return nat
         x0 = flat[:, 0]

@@ -511,8 +511,9 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                                               lens[k:])
             host_sa = None
             if return_sa and host6 is not None and len(host6):
-                host_sa = sa_positions_native(fmi, host6[:, :5],
-                                              int(opt.max_occ))
+                host_sa = sa_positions_native(
+                    fmi, host6[:, :5], int(opt.max_occ),
+                    threads=getattr(opt, "n_threads", 1))
             t_host = _time.perf_counter() - t0
             dev = fut.result()
             t_dev = dev_wall[0]

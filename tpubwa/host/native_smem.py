@@ -163,7 +163,7 @@ def smem_collect_batch_native(opt, fmi, reads, lens_np,
     return None  # pragma: no cover - exact retry cannot fail
 
 
-def sa_positions_native(fmi, flat, max_occ):
+def sa_positions_native(fmi, flat, max_occ, threads=1):
     """Host SA stage: bwa's per-interval subsampling + text-position-
     marked bounded walks for the chunk's flat rows.  Returns
     (pos int64 [total], cnt int64 [n_rows]) — the _sa_positions
@@ -195,6 +195,7 @@ def sa_positions_native(fmi, flat, max_occ):
     n = h.lib.tpubwa_sa_positions(
         h.h, x0.ctypes.data_as(i64p), size.ctypes.data_as(i64p),
         ctypes.c_int64(n_rows), ctypes.c_int64(int(max_occ)),
+        ctypes.c_int64(int(threads or 1)),
         out.ctypes.data_as(i64p), ctypes.c_int64(len(out)),
         cnt.ctypes.data_as(i64p))
     if n < 0:

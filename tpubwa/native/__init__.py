@@ -206,6 +206,7 @@ def load_smem():
                                        i64]
         lib.tpubwa_sa_positions.restype = i64
         lib.tpubwa_sa_positions.argtypes = [
-            ctypes.c_void_p, i64p, i64p, i64, i64, i64p, i64, i64p]
+            ctypes.c_void_p, i64p, i64p, i64, i64, i64, i64p, i64,
+            i64p]
         _smem_lib = lib
     return _smem_lib

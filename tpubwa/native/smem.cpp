@@ -418,30 +418,50 @@ void tpubwa_sa_init(void* h, const uint32_t* mark_rows,
 // or INT64_MIN when marks are absent.
 int64_t tpubwa_sa_positions(void* h, const int64_t* x0,
                             const int64_t* size, int64_t n_rows,
-                            int64_t max_occ, int64_t* out_pos,
-                            int64_t cap, int64_t* out_cnt) {
+                            int64_t max_occ, int64_t nthreads,
+                            int64_t* out_pos, int64_t cap,
+                            int64_t* out_cnt) {
     const FmIdx& f = *(const FmIdx*)h;
     if (!f.mark_rows || f.mark_D <= 0) return INT64_MIN;
     if (max_occ <= 0) {              // -c 0: every seed over-occ
         for (int64_t r = 0; r < n_rows; ++r) out_cnt[r] = 0;
         return 0;
     }
-    int64_t n = 0;
-    bool overflow = false;
+    // pass 1: counts + exact output offsets (cheap, no walks)
+    std::vector<int64_t> off((size_t)n_rows + 1, 0);
     for (int64_t r = 0; r < n_rows; ++r) {
         const int64_t sz = size[r];
         const int64_t step = sz > max_occ ? sz / max_occ : 1;
         const int64_t cnt =
-            sz > 0 ? std::min((sz + step - 1) / step, max_occ)
-                   : 0;
+            sz > 0 ? std::min((sz + step - 1) / step, max_occ) : 0;
         out_cnt[r] = cnt;
-        for (int64_t j = 0; j < cnt; ++j) {
-            if (n < cap) out_pos[n] = sa_value(f, x0[r] + j * step);
-            else overflow = true;
-            ++n;
-        }
+        off[(size_t)r + 1] = off[(size_t)r] + cnt;
     }
-    return overflow ? -n : n;
+    const int64_t n = off[(size_t)n_rows];
+    if (n > cap) return -n;
+    // pass 2: the walks, row-range-split over nthreads (deterministic:
+    // every position's slot is fixed by the offsets)
+    const int64_t T = std::max<int64_t>(
+        1, std::min<int64_t>(nthreads, n_rows));
+    auto work = [&](int64_t t) {
+        const int64_t lo = n_rows * t / T;
+        const int64_t hi = n_rows * (t + 1) / T;
+        for (int64_t r = lo; r < hi; ++r) {
+            const int64_t sz = size[r];
+            const int64_t step = sz > max_occ ? sz / max_occ : 1;
+            int64_t* w = out_pos + off[(size_t)r];
+            for (int64_t j = 0; j < out_cnt[r]; ++j)
+                w[j] = sa_value(f, x0[r] + j * step);
+        }
+    };
+    if (T == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> th;
+        for (int64_t t = 0; t < T; ++t) th.emplace_back(work, t);
+        for (auto& x : th) x.join();
+    }
+    return n;
 }
 
 // Full 3-round mem_collect_intv for one read; rows (x0,x1,size,qb,qe)
