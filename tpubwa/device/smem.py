@@ -478,6 +478,20 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
         if auto:
             frac = st["f"]
         k = int(B * frac)
+        # quantize the ADAPTIVE device share to a pow2 bucket: the
+        # megaq machine's lane count is shape-relevant, so a
+        # continuously adapting k makes every chunk a NEW XLA compile
+        # (measured on chip: 32k reads in 69.5 s, all compiles).
+        # Buckets bound the distinct machine shapes to ~3 per run; the
+        # balancer then moves between buckets only when the equal-wall
+        # split crosses a boundary.  A pinned split (AUTO=0) keeps the
+        # exact k — it is constant across chunks, so it compiles once.
+        if auto and k >= 64:
+            b = 64
+            while b * 2 <= k:
+                b <<= 1
+            # round to nearer of b / 2b (in log space: 1.5x midpoint)
+            k = b * 2 if k > b + (b >> 1) and b * 2 <= B else b
         from ..host.native_smem import (sa_positions_native,
                                         smem_collect_batch_native)
         if k < 64 or smem_collect_batch_native(
@@ -518,8 +532,14 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
             dev = fut.result()
             t_dev = dev_wall[0]
         if auto and t_host > 1e-4 and t_dev > 1e-4:
-            if st.get("cold", True):
-                st["cold"] = False   # first chunk pays compiles; skip
+            seen = st.setdefault("seen", set())
+            if k not in seen:
+                # first chunk AT THIS BUCKET pays the machine compiles;
+                # folding that wall into rate_d makes the balancer
+                # shrink the share, which lands on a NEW bucket, which
+                # compiles again — a measured death spiral (chip log:
+                # 4096 -> 2048 -> 1024 lanes, 39 s for 32k reads).
+                seen.add(k)
             else:
                 # equal-wall split: f* / rate_d == (1 - f*) / rate_h
                 rate_d = k / t_dev             # reads/s device share
