@@ -137,6 +137,20 @@ def process_batches(opt: MemOpt, fmi: FMIndex, batch_iter,
     from concurrent.futures import ThreadPoolExecutor
     if mat is None:
         mat = opt.scoring_matrix()
+    import os
+    pf = os.environ.get("TPUBWA_NO_PREFETCH")
+    if (pf == "1" if pf in ("0", "1") else (os.cpu_count() or 1) <= 1):
+        # single-core host: the align-ahead thread contends with
+        # native emit for the one core (same measured effect as the
+        # chunk-level prefetch — device/pipeline.py:align_batch)
+        n_processed = n_processed0
+        for batch in batch_iter:
+            all_regs = align_phase(opt, fmi, batch, mat, align_fn)
+            lines = emit_phase(opt, fmi, batch, all_regs, n_processed,
+                               mat, rg_id, pes0)
+            n_processed += len(batch)
+            yield batch, lines
+        return
     with ThreadPoolExecutor(max_workers=1) as ex:
         def stage1():
             batch = next(batch_iter, None)
