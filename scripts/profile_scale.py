@@ -99,6 +99,11 @@ def main():
     wrap(aligner, "_seed_chunk", "seed+sa")
     wrap(aligner, "_chunk_regs", "chain+extend+post")
     wrap(aligner, "_sa_positions", "  sa-walk(sync)")
+    wrap(aligner, "_pack", "  pack")
+    import tpubwa.host.native_smem as ns
+    wrap(ns, "smem_collect_batch_native", "  seed-native")
+    import tpubwa.device.smem as _sm2
+    wrap(_sm2, "_package_rows", "  package-rows")
     import tpubwa.device.smem_cursor as sc
     import tpubwa.device.smem as sm
     wrap(sc, "run_smem_jobs", "  cursor-machine(sync)")

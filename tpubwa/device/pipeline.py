@@ -121,8 +121,26 @@ class DeviceAligner:
         # read-length bucket instead of once per batch size (compiles
         # are ~10 s each — they dominated wall time before this).
         import os as _os
-        seed_mode = _os.environ.get("TPUBWA_SEED_MODE") or \
-            ("host" if mesh is None else "megaq")
+        from ..host.native_smem import _lib as _smem_lib_probe
+        if mesh is not None:
+            # one host core cannot feed N chips: machine seeding
+            default_mode = "megaq"
+        elif _smem_lib_probe() is None:
+            default_mode = "megaq"   # no native seeder built
+        elif self.device is not None and self.device.platform != "cpu":
+            # real accelerator: host-native seeding plus a small megaq
+            # machine share keeps the chip busy during the seed phase
+            # (measured on the tunneled v5e at 64 Mb: hybrid@0.25
+            # 11,118 reads/s vs host-only 9,990; 0.30 measured WORSE —
+            # machine rounds are straggler-bound, concave in lanes)
+            default_mode = "hybrid"
+        else:
+            # CPU "device" (tests, no-chip boxes): the machine share
+            # would run on the same core it tries to offload from
+            default_mode = "host"
+        self.seed_mode = _os.environ.get("TPUBWA_SEED_MODE") \
+            or default_mode
+        seed_mode = self.seed_mode
         # host seeding has NO device seeding programs, so a bigger
         # chunk costs no new compiles and halves the per-read share
         # of extension dispatches + link syncs; the machine modes keep
@@ -243,13 +261,10 @@ class DeviceAligner:
         while pad < len(chunk):
             pad <<= 1
         arr, lens = self._pack(chunk, pad)
-        # single-chip default: host seeding (native C++, zero seeding
-        # dispatches/compiles, CPU-measured critical path); a mesh
-        # keeps the device machine — one host core cannot feed N
-        # chips.  TPUBWA_SEED_MODE overrides either way.
-        import os
-        mode = os.environ.get("TPUBWA_SEED_MODE") or \
-            ("host" if self.mesh is None else "megaq")
+        # seed-mode default resolved at __init__ (hybrid on a real
+        # accelerator, host on CPU boxes, megaq under a mesh);
+        # TPUBWA_SEED_MODE overrides either way
+        mode = self.seed_mode
         flat, frid, qd, sa = collect_intv_device(
             self.opt, self.didx, arr, lens, fmi=self.fmi, mode=mode,
             put_sharded=self.put_sharded, put_repl=self.put_repl,

@@ -466,7 +466,10 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
         # thread so its link syncs overlap) while THIS thread seeds
         # the rest in native C++ (ctypes releases the GIL) — both
         # resources busy, wall = max(device share, host share).
-        frac = float(os.environ.get("TPUBWA_HYBRID_DEV_FRAC", 0.45))
+        # 0.25 measured optimal on the tunneled v5e (11.1k reads/s vs
+        # 10.0k host-only and 10.3k at 0.30 — machine rounds are
+        # straggler-bound, so the device rate is concave in lanes)
+        frac = float(os.environ.get("TPUBWA_HYBRID_DEV_FRAC", 0.25))
         auto = os.environ.get("TPUBWA_HYBRID_AUTO", "1") != "0"
         st = getattr(didx, "_hybrid_state", None)
         if st is None:
