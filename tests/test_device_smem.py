@@ -305,8 +305,13 @@ def test_hybrid_mode_equals_scalar(setup, monkeypatch):
     must match the scalar oracle row-for-row, including the fused-SA
     contract across the seam.  AUTO=0 pins the split: on CPU the
     auto-balancer correctly drives the device fraction to the floor
-    (degrading to host mode), which would bypass the seam."""
+    (degrading to host mode), which would bypass the seam.
+    K_FLOOR=16 lowers the device-share floor (default 64, sized for
+    8192-read production chunks) so the 201-read corpus GENUINELY
+    crosses the seam: k = 50 reads on the megaq machine, 151 on the
+    native host path, merged."""
     monkeypatch.setenv("TPUBWA_HYBRID_AUTO", "0")
+    monkeypatch.setenv("TPUBWA_HYBRID_K_FLOOR", "16")
     fmi, didx, codes, unit = setup
     text = fmi.bnt.doubled()
     rng = np.random.default_rng(23)
@@ -346,6 +351,63 @@ def test_hybrid_mode_equals_scalar(setup, monkeypatch):
         assert list(sa[1][off:off + cnt]) == want, f"row {r}"
         off += cnt
     assert off == len(sa[1])
+
+
+def test_hybrid_small_chunk_degrades_to_host(setup, monkeypatch):
+    """Below the device-share floor (k < TPUBWA_HYBRID_K_FLOOR) hybrid
+    degrades to host mode: rows still equal the oracle and the flat
+    contract returns sa=None (classic SA stage), NOT a crash — the
+    round-2 regression (test dereferenced sa)."""
+    monkeypatch.setenv("TPUBWA_HYBRID_AUTO", "0")
+    monkeypatch.delenv("TPUBWA_HYBRID_K_FLOOR", raising=False)
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    opt = MemOpt()
+    reads = [text[i * 131:i * 131 + 100].copy() for i in range(40)]
+    reads.append(np.tile(unit, 3)[:100].copy())
+    arr, lens = _pack_reads(reads, 100)   # k = 10 < 64 -> host mode
+    flat, frid, sa = collect_intv_device(
+        opt, didx, arr, lens, fmi=fmi, mode="hybrid",
+        return_flat=True, return_sa=True)
+    assert sa is None
+    assert len(flat) == len(frid)
+    got = collect_intv_device(opt, didx, arr, lens, fmi=fmi,
+                              mode="hybrid")
+    for i in (0, 17, 40):
+        want = sorted((m.x0, m.x1, m.size, m.qb, m.qe)
+                      for m in collect_intv(opt, fmi, reads[i]))
+        assert _key(got[i]) == want, f"read {i}"
+
+
+def test_machine_mode_without_fmi_degrades_overflow_to_reach(
+        setup, monkeypatch):
+    """fmi=None with a machine mode must not crash on overflow lanes:
+    _scalar_round1/_scalar_reseed degrade to the device reach path
+    (ADVICE round-1 item 1).  Forcing a tiny stack cap drives real
+    overflows through the fallback."""
+    import tpubwa.device.smem_fused as sf
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    opt = MemOpt()
+    # repeat-heavy reads overflow a small stack
+    reads = [np.tile(unit, 3)[:100].copy(),
+             text[150:250].copy(), text[420:520].copy()]
+    arr, lens = _pack_reads(reads, 100)
+    monkeypatch.setenv("TPUBWA_TAIL_HOST", "64")  # host-redo branch
+    got = collect_intv_device(opt, didx, arr, lens, fmi=None,
+                              mode="megaq")
+    for i, r in enumerate(reads):
+        want = sorted((m.x0, m.x1, m.size, m.qb, m.qe)
+                      for m in collect_intv(opt, fmi, r))
+        assert _key(got[i]) == want, f"read {i}"
+    # direct helper coverage: fmi=None + didx -> reach rows
+    from tpubwa.device.smem import _scalar_reseed, _scalar_round1
+    r1 = _scalar_round1(opt, None, reads[1], 100, didx=didx)
+    w1 = _scalar_round1(opt, fmi, reads[1], 100)
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, w1))
+    r2 = _scalar_reseed(opt, None, reads[0], 100, 50, 2, didx=didx)
+    w2 = _scalar_reseed(opt, fmi, reads[0], 100, 50, 2)
+    assert sorted(map(tuple, r2)) == sorted(map(tuple, w2))
 
 
 def test_megaq_emission_cap_retry(setup, monkeypatch):

@@ -377,10 +377,8 @@ class DeviceAligner:
                     for i, r in enumerate(reads)]
         ch = self.chunk_reads
         chunks = [reads[s:s + ch] for s in range(0, len(reads), ch)]
-        import os
-        pf = os.environ.get("TPUBWA_NO_PREFETCH")
-        serial = (pf == "1" if pf in ("0", "1")
-                  else (os.cpu_count() or 1) <= 1)
+        from ..utils import serial_pipeline
+        serial = serial_pipeline()
         if len(chunks) == 1 or serial:
             # serial chunk loop: on a single-core host the seeding
             # prefetch thread only steals timeslices from main-thread

@@ -292,7 +292,8 @@ def _rounds12_cursor(opt, didx, qd, ld, lens_np, reads, split_len, fmi):
     blocks = [flat]
     rids = [frid]
     for ri in np.flatnonzero(ovf):
-        rows = _scalar_round1(opt, fmi, reads[ri], int(lens_np[ri]))
+        rows = _scalar_round1(opt, fmi, reads[ri], int(lens_np[ri]),
+                              didx=didx)
         blocks.append(rows)
         rids.append(np.full(len(rows), ri, np.int64))
     r1_rows = np.concatenate(blocks) if len(blocks) > 1 else flat
@@ -320,17 +321,28 @@ def _rounds12_cursor(opt, didx, qd, ld, lens_np, reads, split_len, fmi):
     for k in np.flatnonzero(ovf2):
         rows = _scalar_reseed(opt, fmi, reads[int(job_rid[k])],
                               int(lens_np[int(job_rid[k])]),
-                              int(job_x[k]), int(job_mi[k]))
+                              int(job_x[k]), int(job_mi[k]), didx=didx)
         blocks.append(rows)
         rids.append(np.full(len(rows), int(job_rid[k]), np.int64))
     return np.concatenate(blocks), np.concatenate(rids)
 
 
-def _scalar_round1(opt, fmi, read_row, l_seq):
-    """Host fallback for a cursor-machine overflow lane (round 1)."""
+def _scalar_round1(opt, fmi, read_row, l_seq, didx=None):
+    """Host fallback for a cursor-machine overflow lane (round 1).
+    Without a host FMIndex the lane degrades to the device reach path
+    (slow but correct) instead of crashing (ADVICE round-1 item 1)."""
     from ..ref.smem import smem1a
     if fmi is None:
-        raise RuntimeError("cursor overflow needs host FMIndex")
+        if didx is None:
+            raise RuntimeError(
+                "cursor overflow needs a host FMIndex or a DeviceIndex")
+        arr = np.ascontiguousarray(
+            np.asarray(read_row)[None, :], dtype=np.uint8)
+        lens = np.asarray([l_seq], np.int32)
+        rows = smems_round1(didx, arr, lens, opt.min_seed_len,
+                            lens_np=lens)[0]
+        order = np.lexsort((rows[:, 4], rows[:, 3]))
+        return rows[order]
     q = np.asarray(read_row[:l_seq])
     mems, tmp = [], []
     x = 0
@@ -347,11 +359,21 @@ def _scalar_round1(opt, fmi, read_row, l_seq):
     return rows[order]
 
 
-def _scalar_reseed(opt, fmi, read_row, l_seq, x, min_intv):
-    """Host fallback for an overflowed round-2 lane."""
+def _scalar_reseed(opt, fmi, read_row, l_seq, x, min_intv, didx=None):
+    """Host fallback for an overflowed round-2 lane.  Degrades to the
+    device reach path when no host FMIndex is available."""
     from ..ref.smem import smem1a
     if fmi is None:
-        raise RuntimeError("cursor overflow needs host FMIndex")
+        if didx is None:
+            raise RuntimeError(
+                "cursor overflow needs a host FMIndex or a DeviceIndex")
+        arr = np.ascontiguousarray(
+            np.asarray(read_row)[None, :], dtype=np.uint8)
+        lens = np.asarray([l_seq], np.int32)
+        out = smems_reseed(didx, arr, lens,
+                           [(0, int(x), int(min_intv))],
+                           opt.min_seed_len)
+        return out[0][1]
     q = np.asarray(read_row[:l_seq])
     tmp = []
     smem1a(fmi, q, x, min_intv, 0, tmp)
@@ -438,8 +460,11 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                               "megaq" if use_cursor else "reach")
     if mode == "megaq" and _MEGAQ_BROKEN[0]:
         mode = "mega"
-    if mode != "reach" and fmi is None:
-        mode = "reach"
+    if fmi is None and mode in ("host", "hybrid"):
+        # host-side native seeding needs the host FMIndex; the machine
+        # modes work without one (overflow lanes degrade to the device
+        # reach path instead of raising — ADVICE round-1 item 1)
+        mode = "mega" if _MEGAQ_BROKEN[0] else "megaq"
     use_cursor = mode != "reach"
     B, L = reads.shape
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
@@ -471,6 +496,12 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
         # straggler-bound, so the device rate is concave in lanes)
         frac = float(os.environ.get("TPUBWA_HYBRID_DEV_FRAC", 0.25))
         auto = os.environ.get("TPUBWA_HYBRID_AUTO", "1") != "0"
+        # device-share floor: below this many reads a machine dispatch
+        # costs more than it saves, so hybrid degrades to host mode.
+        # Tests lower it to exercise the device/host merge seam with
+        # small chunks (production chunks are 8192 reads, k=2048).
+        k_floor = max(1, int(os.environ.get("TPUBWA_HYBRID_K_FLOOR",
+                                            "64")))
         st = getattr(didx, "_hybrid_state", None)
         if st is None:
             st = {"f": frac}
@@ -489,17 +520,17 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
         # balancer then moves between buckets only when the equal-wall
         # split crosses a boundary.  A pinned split (AUTO=0) keeps the
         # exact k — it is constant across chunks, so it compiles once.
-        if auto and k >= 64:
-            b = 64
+        if auto and k >= k_floor:
+            b = k_floor
             while b * 2 <= k:
                 b <<= 1
             # round to nearer of b / 2b (in log space: 1.5x midpoint)
             k = b * 2 if k > b + (b >> 1) and b * 2 <= B else b
         from ..host.native_smem import (sa_positions_native,
                                         smem_collect_batch_native)
-        if k < 64 or smem_collect_batch_native(
+        if k < k_floor or smem_collect_batch_native(
                 opt, fmi, reads[:0], lens[:0]) is None:
-            mode = "host" if k < 64 else "megaq"
+            mode = "host" if k < k_floor else "megaq"
             return collect_intv_device(
                 opt, didx, reads, lens, fmi=fmi, mode=mode,
                 put_sharded=put_sharded, put_repl=put_repl,

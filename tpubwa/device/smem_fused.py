@@ -1038,13 +1038,14 @@ def _r2_jobs_from(opt, split_len, npdt, rows, rids,
 
 
 def _scalar_full(opt, fmi, reads, lens_np, split_len, npdt, jobs,
-                 rows_out, rids_out):
+                 rows_out, rids_out, didx=None):
     """Terminal scalar fallback: one-shot jobs reseed directly; full-
     protocol jobs run round 1 plus ALL of their round-2 reseeds.
     Native C++ fast path (host/native_smem.py, ~30x) with the Python
     scalar reference as fallback — identical emission order."""
     from ..host.native_smem import smem_jobs_native
-    nat = smem_jobs_native(opt, fmi, reads, lens_np, split_len, jobs)
+    nat = (smem_jobs_native(opt, fmi, reads, lens_np, split_len, jobs)
+           if fmi is not None else None)
     if nat is not None:
         rows_out.append(nat[:, :5])
         rids_out.append(nat[:, 5])
@@ -1053,11 +1054,12 @@ def _scalar_full(opt, fmi, reads, lens_np, split_len, npdt, jobs,
     for (ri, x, mi, osh) in jobs:
         if osh:
             rows = _scalar_reseed(opt, fmi, reads[ri],
-                                  int(lens_np[ri]), x, mi)
+                                  int(lens_np[ri]), x, mi, didx=didx)
             rows_out.append(rows)
             rids_out.append(np.full(len(rows), ri, np.int64))
             continue
-        rows = _scalar_round1(opt, fmi, reads[ri], int(lens_np[ri]))
+        rows = _scalar_round1(opt, fmi, reads[ri], int(lens_np[ri]),
+                              didx=didx)
         rows_out.append(rows)
         rids_out.append(np.full(len(rows), ri, np.int64))
         rrid = np.full(len(rows), ri, np.int64)
@@ -1066,7 +1068,7 @@ def _scalar_full(opt, fmi, reads, lens_np, split_len, npdt, jobs,
         for k in range(len(rid_)):
             rr = _scalar_reseed(opt, fmi, reads[int(rid_[k])],
                                 int(lens_np[int(rid_[k])]),
-                                int(jx_[k]), int(jmi_[k]))
+                                int(jx_[k]), int(jmi_[k]), didx=didx)
             rows_out.append(rr)
             rids_out.append(np.full(len(rr), int(rid_[k]), np.int64))
 
@@ -1267,7 +1269,7 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         def scalar_full_jobs(jobs):
             n_before = len(rows_out)
             _scalar_full(opt, fmi, reads, lens_np, split_len, npdt,
-                         jobs, rows_out, rids_out)
+                         jobs, rows_out, rids_out, didx=didx)
             if fuse:
                 for b in rows_out[n_before:]:
                     sac_out.append(np.full(len(b), -1, np.int64))
@@ -1417,7 +1419,7 @@ def rounds12_mega(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         # deep-machine overflow: fully scalar (round 1 + its reseeds)
         def scalar_full(jobs):
             _scalar_full(opt, fmi, reads, lens_np, split_len, npdt,
-                         jobs, rows_out, rids_out)
+                         jobs, rows_out, rids_out, didx=didx)
         scalar_full([tail_jobs[k] for k in np.flatnonzero(ovf1)])
         # mirror the device's reseed job list: rows of NON-one-shot,
         # non-overflow tail lanes, in lane-major slot order
@@ -1476,10 +1478,11 @@ def rounds12_fused(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         for (ri, x, mi, osh) in jobs:
             if osh:
                 rows = _scalar_reseed(opt, fmi, reads[ri],
-                                      int(lens_np[ri]), x, mi)
+                                      int(lens_np[ri]), x, mi,
+                                      didx=didx)
             else:
                 rows = _scalar_round1(opt, fmi, reads[ri],
-                                      int(lens_np[ri]))
+                                      int(lens_np[ri]), didx=didx)
             rows_out.append(rows)
             rids_out.append(np.full(len(rows), ri, np.int64))
 

@@ -546,10 +546,11 @@ def rounds12_split(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         for (ri, x, mi, osh) in jobs:
             if osh:
                 rows = _scalar_reseed(opt, fmi, reads[ri],
-                                      int(lens_np[ri]), x, mi)
+                                      int(lens_np[ri]), x, mi,
+                                      didx=didx)
             else:
                 rows = _scalar_round1(opt, fmi, reads[ri],
-                                      int(lens_np[ri]))
+                                      int(lens_np[ri]), didx=didx)
             rows_out.append(rows)
             rids_out.append(np.full(len(rows), ri, np.int64))
 

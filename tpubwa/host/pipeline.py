@@ -137,9 +137,8 @@ def process_batches(opt: MemOpt, fmi: FMIndex, batch_iter,
     from concurrent.futures import ThreadPoolExecutor
     if mat is None:
         mat = opt.scoring_matrix()
-    import os
-    pf = os.environ.get("TPUBWA_NO_PREFETCH")
-    if (pf == "1" if pf in ("0", "1") else (os.cpu_count() or 1) <= 1):
+    from ..utils import serial_pipeline
+    if serial_pipeline():
         # single-core host: the align-ahead thread contends with
         # native emit for the one core (same measured effect as the
         # chunk-level prefetch — device/pipeline.py:align_batch)

@@ -26,6 +26,27 @@ from typing import Dict, Optional
 log = logging.getLogger("tpubwa")
 
 
+def serial_pipeline() -> bool:
+    """True when the chunk/batch prefetch threads should be disabled
+    (single shared helper for host/pipeline.py and device/pipeline.py
+    — ADVICE round-2 items 1-2).
+
+    TPUBWA_NO_PREFETCH forces the choice: '0'/'false'/'no'/'off' keeps
+    the overlap threads; any other non-empty value forces serial.
+    Unset -> auto: serial when the process has ONE usable core.  Uses
+    sched_getaffinity (the cores this process may actually run on),
+    not cpu_count (visible CPUs) — a cgroup/affinity-pinned container
+    can show many CPUs while being allocated one."""
+    pf = os.environ.get("TPUBWA_NO_PREFETCH")
+    if pf is not None and pf.strip():
+        return pf.strip().lower() not in ("0", "false", "no", "off")
+    try:
+        n = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):  # pragma: no cover - non-Linux
+        n = os.cpu_count() or 1
+    return n <= 1
+
+
 def enable_compilation_cache(platform: str = "auto") -> None:
     """Persistent XLA compilation cache: the seeding/extension programs
     cost tens of seconds to compile on TPU; caching them on disk makes
