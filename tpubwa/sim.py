@@ -271,11 +271,24 @@ def bench_index(genome_mb: int, realistic: bool = False,
     os.makedirs(cache_dir, exist_ok=True)
     prefix = os.path.join(
         cache_dir, f"idx{genome_mb}m{'r' if realistic else ''}")
+    if os.path.exists(os.path.join(prefix + ".tpubwa.shm", "meta.json")):
+        # mmap cache: O(seconds) even at 3.1 Gbp (the npz path decodes
+        # + unpacks ~8 GB in-process, ~10 min at that scale)
+        t0 = time.time()
+        fmi = FMIndex.load_shm(prefix)
+        log(f"[bench] shm cache hit {prefix}: {fmi.seq_len} doubled,"
+            f" {time.time() - t0:.1f}s")
+        return fmi
     if os.path.exists(prefix + ".tpubwa.npz"):
         t0 = time.time()
         fmi = FMIndex.load(prefix)
         log(f"[bench] index cache hit {prefix}: {fmi.seq_len} doubled,"
             f" {time.time() - t0:.1f}s")
+        if genome_mb > 256:  # one-time upgrade to the mmap cache
+            try:
+                fmi.save_shm(prefix)
+            except OSError:
+                pass
         return fmi
     rng = np.random.default_rng(seed)
     t0 = time.time()
