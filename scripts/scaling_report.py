@@ -90,9 +90,14 @@ def run_dist(d, fa, r1, r2, nprocs, tag=""):
             "JAX_PROCESS_ID": str(pid),
             "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
         })
+        # -I pins the insert distribution (the sim draws N(350,30)):
+        # pestat is otherwise computed per shard, so N-process output
+        # legitimately differs from 1-process — the same chunk-size
+        # dependence stock bwa mem has via -K.  With -I the full
+        # output must be byte-identical across N, and is asserted so.
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "tpubwa.cli", "mem", "--dist",
-             "--device", "cpu", "-o", out, fa, r1, r2],
+             "--device", "cpu", "-I", "350,30", "-o", out, fa, r1, r2],
             env=env, cwd=d, stdout=subprocess.DEVNULL,
             stderr=subprocess.PIPE, text=True))
     errs = [p.communicate(timeout=1800)[1] for p in procs]
