@@ -166,20 +166,26 @@ def main():
         "",
         "**Reading this table.** N processes time-slice ONE physical "
         "core, so aggregate reads/s cannot exceed the 1-process row — "
-        "what the rows demonstrate is that the distributed machinery "
+        "the rows bound the cost of the distributed machinery "
         "(jax.distributed init, deterministic shard split, barriers, "
-        "counter all-gather, rank-0 merge) costs a few percent, not "
-        "the anti-scaling a naive reading of wall times suggests.  "
-        "Work is conserved across rows; each extra process re-pays "
-        f"only the fixed startup (measured directly: {t_fixed:.1f} s "
-        "— interpreter + JAX import + index load + warm-cache "
-        "compile).  `machinery overhead` = T_N − T_1 − (N−1)·fixed, "
-        "as % of T_1.  On a real pod slice each host has its own "
-        "cores, so the fixed cost is paid once per host in parallel "
-        "and steady-state throughput scales with hosts (the shard "
-        "split is communication-free).",
+        "counter all-gather, rank-0 merge) instead of reporting raw "
+        "anti-scaling wall times.  Work is conserved across rows; "
+        "each extra process re-pays the fixed startup (measured solo: "
+        f"{t_fixed:.1f} s — interpreter + JAX import + index load + "
+        "warm-cache compile).  `residual` = T_N − T_1 − (N−1)·fixed "
+        "is an UPPER BOUND on machinery cost: it also absorbs the "
+        "time-slicing contention of N concurrent JAX startups and "
+        "the barrier that holds every process until the slowest "
+        "finishes starting — both artifacts of the one-core host, "
+        "not of the protocol (whose only collectives are the startup "
+        "barrier, one counter all-gather, and the pre-merge barrier)."
+        "  On a real pod slice each host has its own cores: the fixed "
+        "cost is paid once per host in parallel, startups do not "
+        "contend, and steady-state throughput scales with hosts (the "
+        "shard split is communication-free).",
         "",
-        "| configuration | wall | machinery overhead | output |",
+        "| configuration | wall | residual (machinery upper bound) "
+        "| output |",
         "|---|---|---|---|",
     ]
     for nprocs, dt, rps, n_rec in rows:
@@ -204,6 +210,13 @@ def main():
             "1.6e5 reads/s, 32-core Xeon stock bwa-mem estimate).",
         ]
     lines += [
+        "- Round-3 session (2026-08-19, bench.py on chip, solo): "
+        "64 Mb repeat-realistic **1,336 reads/s** median-of-3 "
+        "(attempts 1,391/709/1,336) and GRCh38-scale 3.1 Gbp "
+        "**580 reads/s** (one rep; the ~8 GB index upload through "
+        "the tunnel dominates the budget).  The realistic/uniform "
+        "corpus ratio (~6x vs the round-2 row below) is the measured "
+        "flattery factor of uniform-random benchmarks.",
         "- Round-2 final session (2026-08-18, bench.py on chip): "
         "9,024 reads/s, chr20-scale 64 Mb uniform genome, 100 bp PE "
         "(attempts 8,711 / 9,337); in-profile best 11,118 reads/s "
