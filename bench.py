@@ -105,7 +105,10 @@ def measure_row(log, genome_mb, realistic, n_pairs_batch, n_batches=3,
     from tpubwa.sim import bench_index, simulate_pe
     prefix = os.path.join(
         CACHE, f"idx{genome_mb}m{'r' if realistic else ''}")
-    if genome_mb > 256 and not os.path.exists(prefix + ".tpubwa.npz"):
+    if genome_mb > 256 and not (
+            os.path.exists(prefix + ".tpubwa.npz")
+            or os.path.exists(os.path.join(prefix + ".tpubwa.shm",
+                                           "meta.json"))):
         log(f"[bench] no cached index {prefix}; skipping this row")
         return None
     fmi = bench_index(genome_mb, realistic=realistic, log=log)
@@ -198,8 +201,13 @@ def run_all(log):
 def _emit_partial(out):
     """Crash insurance: persist rows as they complete."""
     try:
-        with open(os.path.join(CACHE, "bench_partial.json"), "w") as fh:
+        # atomic: the outer process's signal handler may read this file
+        # at any moment (driver kill); a half-written JSON would defeat
+        # the crash insurance exactly when it matters (ADVICE r3).
+        tmp = os.path.join(CACHE, "bench_partial.json.tmp")
+        with open(tmp, "w") as fh:
             json.dump(out, fh)
+        os.replace(tmp, os.path.join(CACHE, "bench_partial.json"))
     except OSError:
         pass
 

@@ -69,6 +69,9 @@ def main():
     ap.add_argument("--pairs", type=int, default=16000)
     ap.add_argument("--batches", type=int, default=2)
     ap.add_argument("--platform", default="auto")
+    ap.add_argument("--realistic", action="store_true",
+                    help="use the repeat-realistic bench corpus "
+                         "(same index+reads as bench.py's headline row)")
     args = ap.parse_args()
 
     from tpubwa.utils import enable_compilation_cache
@@ -77,7 +80,13 @@ def main():
     from tpubwa.host.pipeline import process_batches, process_seqs
     from tpubwa.device.pipeline import make_device_aligner
 
-    fmi = cached_index(args.mb)
+    if args.realistic:
+        from tpubwa.sim import bench_index
+        fmi = cached_index_realistic = bench_index(
+            args.mb, realistic=True,
+            log=lambda m: print(m, file=sys.stderr))
+    else:
+        fmi = cached_index(args.mb)
     opt = MemOpt(flag=MEM_F_PE)
     rng = np.random.default_rng(1)
     aligner = make_device_aligner(opt, fmi, platform=args.platform)
@@ -126,9 +135,21 @@ def main():
     wrap(ne, "chain_batch_native", "  chain-native")
     import tpubwa.device.extend_fused as ef
     wrap(ef, "extend_seed_desc_np", "  extend-desc(sync)")
+    import tpubwa.host.pipeline as hp
+    wrap(hp, "emit_phase", "emit (pair+sam)")
+    import tpubwa.host.native_emit as ne2
+    wrap(ne2, "emit_batch_native", "  emit-native")
 
-    warm = simulate(fmi, max(args.pairs // args.batches, 64), 100,
-                    rng)
+    if args.realistic:
+        from tpubwa.sim import simulate_pe
+
+        def simulate_batch(n):
+            return simulate_pe(fmi.bnt, n, 100, rng)
+    else:
+        def simulate_batch(n):
+            return simulate(fmi, n, 100, rng)
+
+    warm = simulate_batch(max(args.pairs // args.batches, 64))
     t0 = time.time()
     process_seqs(opt, fmi, warm, 0, align_fn=aligner)
     print(f"[prof] warmup (compiles): {time.time() - t0:.1f}s",
@@ -136,7 +157,7 @@ def main():
     stages.clear()
     ss.SEED_STATS.clear()
 
-    batches = [simulate(fmi, args.pairs // args.batches, 100, rng)
+    batches = [simulate_batch(args.pairs // args.batches)
                for _ in range(args.batches)]
     n_reads = sum(len(b) for b in batches)
     t0 = time.perf_counter()

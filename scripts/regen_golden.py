@@ -30,15 +30,10 @@ import os
 import sys
 import tempfile
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "tests"))
 GOLD = os.path.join(ROOT, "tests", "golden")
-
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
@@ -175,4 +170,12 @@ def main():
 
 
 if __name__ == "__main__":
+    # CPU-forcing is a process-global side effect: only when run as a
+    # script, never on import (tests import run_outputs, which passes
+    # --device cpu explicitly; mutating jax config here would silently
+    # pin a TPU-present test process to CPU — ADVICE r3).
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     sys.exit(main())

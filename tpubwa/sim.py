@@ -171,9 +171,25 @@ def make_bench_bnt(n_bp: int, rng, realistic: bool = True,
         nm = int(mut.sum())
         blk[mut] = (blk[mut] + rng.integers(1, 4, nm)) % 4
         anns[-1].length -= ln               # carve space: keep l_pac
-        anns.append(SeqAnn(name="chr1_alt", anno="", is_alt=1,
-                           offset=n_bp - ln, length=ln, n_ambs=0))
+        alt = SeqAnn(name="chr1_alt", anno="", is_alt=1,
+                     offset=n_bp - ln, length=ln, n_ambs=0)
+        anns.append(alt)
         codes[n_bp - ln:] = blk
+        # The N-gap ambs above were placed against the PRE-carve contig
+        # lengths; any record now inside (or straddling into) the ALT
+        # slot would leave .amb/.ann metadata inconsistent with contig
+        # boundaries (ADVICE r3).  Reassign whole records to chr1_alt,
+        # truncate straddlers at the boundary; the carved contig's
+        # n_ambs shrinks accordingly.  codes are untouched, so cached
+        # bench corpora built before this fix stay byte-identical
+        # unless a gap actually hit the last alt_frac of the genome.
+        carved = anns[-2]
+        for m in ambs:
+            if m.offset >= alt.offset:      # wholly inside the ALT slot
+                carved.n_ambs -= 1
+                alt.n_ambs += 1
+            elif m.offset + m.length > alt.offset:   # straddler
+                m.length = alt.offset - m.offset
         bnt = BntSeq(l_pac=n_bp, anns=anns, ambs=ambs, seed=11,
                      codes=codes)
     return bnt
