@@ -156,6 +156,7 @@ def main():
           file=sys.stderr)
     stages.clear()
     ss.SEED_STATS.clear()
+    ne.emit_stats(reset=True)   # drop warmup-batch counters
 
     batches = [simulate_batch(args.pairs // args.batches)
                for _ in range(args.batches)]
@@ -177,6 +178,20 @@ def main():
     ext = aligner.extender
     print(f"[prof]   waves={ext.n_waves} jobs={ext.n_jobs} "
           f"fallback={ext.n_fallback}", file=sys.stderr)
+    es = ne.emit_stats()
+    if es:
+        print("[prof]   emit-native attribution:", file=sys.stderr)
+        for stem in ("matesw", "gen_alt", "reg2aln", "aln2sam"):
+            c = es.get(f"{stem}_calls", 0)
+            w = es.get(f"{stem}_ns", 0) / 1e9
+            print(f"[prof]     {stem:13s} {c:9d} calls {w:7.2f}s",
+                  file=sys.stderr)
+        print(f"[prof]     {'ksw_align':13s} "
+              f"{es['ksw_align_calls']:9d} calls (inside matesw)",
+              file=sys.stderr)
+        print(f"[prof]     mem_pair {es['mem_pair_ns'] / 1e9:.2f}s  "
+              f"mark_primary {es['mark_primary_ns'] / 1e9:.2f}s",
+              file=sys.stderr)
     for kind in ("fwd", "bwd", "call", "mega", "megaq"):
         ms = [s for s in ss.SEED_STATS if s[0] == kind]
         if not ms:

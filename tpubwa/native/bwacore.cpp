@@ -9,6 +9,8 @@
 // phase's Python interpreter time directly gates throughput; this port
 // removes it (GIL released during the call).
 
+#include <atomic>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -24,6 +26,33 @@ namespace {
 typedef int64_t i64;
 typedef uint64_t u64;
 typedef uint8_t u8;
+
+// ---- emit-phase attribution counters ---------------------------------
+// Cheap always-on per-stage walls + call counts for the emit phase
+// (the round-3 verdict's "unattributed realistic-corpus penalty").
+// Exposed via tpubwa_emit_stats(); profile_scale.py prints them.
+struct EmitStats {
+    std::atomic<i64> matesw_calls{0}, matesw_ns{0}, kswa_calls{0};
+    std::atomic<i64> gen_alt_ns{0}, gen_alt_calls{0};
+    std::atomic<i64> reg2aln_calls{0}, reg2aln_ns{0};
+    std::atomic<i64> mempair_ns{0}, markpri_ns{0};
+    std::atomic<i64> aln2sam_calls{0}, aln2sam_ns{0};
+};
+EmitStats g_es;
+
+struct ScopedNs {
+    std::atomic<i64>& acc;
+    std::chrono::steady_clock::time_point t0;
+    explicit ScopedNs(std::atomic<i64>& a)
+        : acc(a), t0(std::chrono::steady_clock::now()) {}
+    ~ScopedNs() {
+        acc.fetch_add(std::chrono::duration_cast<
+                          std::chrono::nanoseconds>(
+                          std::chrono::steady_clock::now() - t0)
+                          .count(),
+                      std::memory_order_relaxed);
+    }
+};
 
 inline i64 mx(i64 a, i64 b) { return a > b ? a : b; }
 inline i64 mn(i64 a, i64 b) { return a < b ? a : b; }
@@ -156,6 +185,7 @@ void mark_primary_core(const Opt& o, std::vector<Reg>& regs, size_t n) {
 }
 
 i64 mark_primary(const Opt& o, std::vector<Reg>& regs, i64 read_id) {
+    ScopedNs _t(g_es.markpri_ns);
     size_t n = regs.size();
     if (n == 0) return 0;
     i64 n_pri = 0;
@@ -385,6 +415,8 @@ struct Aln {
 
 Aln reg2aln(const Opt& o, const Bnt& bnt, i64 l_query, const u8* query,
             const Reg* ar) {
+    g_es.reg2aln_calls.fetch_add(1, std::memory_order_relaxed);
+    ScopedNs _t(g_es.reg2aln_ns);
     Aln a;
     if (ar == nullptr || ar->rb < 0 || ar->re < 0) {
         a.rid = -1;
@@ -463,6 +495,8 @@ struct ReadView {
 void aln2sam(const Opt& o, const Bnt& bnt, const ReadView& rd, int n,
              const std::vector<Aln>& alns, int which, const Aln* mate,
              const char* rg_id, std::string* out) {
+    g_es.aln2sam_calls.fetch_add(1, std::memory_order_relaxed);
+    ScopedNs _t(g_es.aln2sam_ns);
     const Aln& p = alns[which];
     i64 flag = p.flag;
     int is_rev = p.is_rev;
@@ -646,6 +680,8 @@ i64 get_pri_idx(double xa_drop_ratio, const std::vector<Reg>& regs,
 void gen_alt(const Opt& o, const Bnt& bnt, const std::vector<Reg>& regs,
              i64 l_query, const u8* query, std::vector<std::string>* XA,
              std::vector<bool>* has) {
+    g_es.gen_alt_calls.fetch_add(1, std::memory_order_relaxed);
+    ScopedNs _t(g_es.gen_alt_ns);
     size_t n = regs.size();
     XA->assign(n, "");
     has->assign(n, false);
@@ -750,6 +786,8 @@ int raw_mapq(i64 diff, i64 a) {
 // mem_matesw: may insert rescued regions into ma (sorted by score desc)
 int matesw(const Opt& o, const Bnt& bnt, const PES* pes, const Reg& a,
            const ReadView& mate, std::vector<Reg>* ma) {
+    g_es.matesw_calls.fetch_add(1, std::memory_order_relaxed);
+    ScopedNs _t(g_es.matesw_ns);
     i64 l_pac = bnt.l_pac;
     i64 l_ms = mate.l_seq;
     const u8* ms = mate.seq;
@@ -799,6 +837,7 @@ int matesw(const Opt& o, const Bnt& bnt, const PES* pes, const Reg& a,
         }
         if (rid >= 0 && re - rb >= o.min_seed_len) {
             int32_t out7[7];
+            g_es.kswa_calls.fetch_add(1, std::memory_order_relaxed);
             tpubwa_ksw_align((int32_t)l_ms, seq.data(),
                              (int32_t)(re - rb), ref.data(), 5, o.mat,
                              (int32_t)o.o_del, (int32_t)o.e_del,
@@ -841,6 +880,7 @@ int matesw(const Opt& o, const Bnt& bnt, const PES* pes, const Reg& a,
 void mem_pair(const Opt& o, const Bnt& bnt, const PES* pes,
               const std::vector<Reg>* a, i64 pair_id, const i64* n_pri,
               i64* o_out, i64* sub_out, i64* n_sub_out, i64* z) {
+    ScopedNs _t(g_es.mempair_ns);
     i64 l_pac = bnt.l_pac;
     std::vector<std::pair<u64, u64>> v;
     for (int r = 0; r < 2; ++r) {
@@ -1145,6 +1185,23 @@ i64 tpubwa_emit_batch(
     if ((i64)text.size() > out_cap) return -(i64)text.size();
     memcpy(out, text.data(), text.size());
     return (i64)text.size();
+}
+
+// Emit-phase attribution: fills out[0..10] with
+// [matesw_calls, matesw_ns, ksw_align_calls, gen_alt_calls, gen_alt_ns,
+//  reg2aln_calls, reg2aln_ns, mempair_ns, markpri_ns, aln2sam_calls,
+//  aln2sam_ns]; reset != 0 zeroes the counters afterwards.
+void tpubwa_emit_stats(i64* out, int32_t reset) {
+    std::atomic<i64>* fields[] = {
+        &g_es.matesw_calls, &g_es.matesw_ns, &g_es.kswa_calls,
+        &g_es.gen_alt_calls, &g_es.gen_alt_ns,
+        &g_es.reg2aln_calls, &g_es.reg2aln_ns,
+        &g_es.mempair_ns, &g_es.markpri_ns,
+        &g_es.aln2sam_calls, &g_es.aln2sam_ns};
+    for (int i = 0; i < 11; ++i) {
+        out[i] = fields[i]->load(std::memory_order_relaxed);
+        if (reset) fields[i]->store(0, std::memory_order_relaxed);
+    }
 }
 
 }  // extern "C"

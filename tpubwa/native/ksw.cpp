@@ -10,7 +10,12 @@
 
 #include <cstdint>
 #include <cstdlib>
+#include <cstring>
 #include <vector>
+
+#if defined(__AVX512F__) || defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -221,12 +226,238 @@ void tpubwa_ksw_extend(int32_t qlen, const uint8_t* query, int32_t tlen,
 
 namespace {
 
+// ---- vectorized local SW forward pass ---------------------------------
+// Bit-identical to the scalar loop below: all arithmetic stays int32
+// (no 8/16-bit saturation shortcuts), and the row's F chain
+//   f(0) = 0;  f(j+1) = max(f(j) - e_ins, he(j) - oe_ins)
+// is rewritten as a biased prefix max (the same algebra as the Pallas
+// extension kernel's F-scan, device/extend_pallas.py:_prefix_max):
+//   v(j) = he(j) - oe_ins + (j+1)*e_ins
+//   u(j) = max(0, max_{k<j} v(k));   f(j) = u(j) - j*e_ins
+// u(0)=0 reproduces the f(j) >= -j*e_ins decay floor exactly.
+// The mate-rescue path (bwamem_pair.c:mem_matesw:~60 upstream) calls
+// this twice per ksw_align; on repeat-realistic corpora it was ~85% of
+// the emit phase (round-4 attribution), hence the SIMD port.  Upstream
+// ksw.c vectorizes with SSE2 saturating u8/u16 lanes; this version is
+// structurally different (exact i32 lanes, prefix-max F) on purpose.
+constexpr int32_t PROF_PAD = -(1 << 28);  // tail lanes: he clamps to 0
+
+#if defined(__AVX512F__)
+constexpr int VLANES = 16;
+
+inline __m512i prefix_max_epi32(__m512i v, __m512i ninf) {
+    // inclusive prefix max over 16 lanes (log-shift, lane 0 lowest)
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 16 - 1));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 16 - 2));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 16 - 4));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 16 - 8));
+    return v;
+}
+
+void local_forward_simd(int32_t qlen, const uint8_t* query, int32_t tlen,
+                        const uint8_t* target, int32_t m,
+                        const int32_t* mat, int32_t o_del, int32_t e_del,
+                        int32_t o_ins, int32_t e_ins, int32_t* best_out,
+                        int32_t* te_out, int32_t* qe_out,
+                        int32_t* col_max) {
+    const int32_t oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+    const int32_t NB = (qlen + VLANES - 1) / VLANES;
+    const int32_t Q = NB * VLANES;
+    // per-symbol query profiles, tail-padded so tail he == 0
+    std::vector<int32_t> prof((size_t)m * Q, PROF_PAD);
+    for (int32_t c = 0; c < m; ++c)
+        for (int32_t j = 0; j < qlen; ++j)
+            prof[(size_t)c * Q + j] = mat[c * m + (int32_t)query[j]];
+    // H(i-1, j-1) reads Hprev[j]: slot 0 stays 0 (the H(i,-1)=0
+    // column); rows double-buffer instead of copying
+    std::vector<int32_t> Hb0(Q + 1, 0), Hb1(Q + 1, 0), Ebuf(Q, 0);
+    int32_t* Hprev = Hb0.data();
+    int32_t* Hnext = Hb1.data();
+    // h values in the last block past qlen are masked to 0 in-register
+    // (the biased-prefix f can leak positive into tail lanes)
+    const __mmask16 tailmask =
+        (__mmask16)((qlen % VLANES) ? ((1u << (qlen % VLANES)) - 1u)
+                                    : 0xFFFFu);
+    const __m512i zero = _mm512_setzero_si512();
+    const __m512i ninf = _mm512_set1_epi32(MINUS_INF);
+    const __m512i lane = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+                                           10, 11, 12, 13, 14, 15);
+    const __m512i vei = _mm512_set1_epi32(e_ins);
+    const __m512i lane_ei = _mm512_mullo_epi32(lane, vei);
+    // v-bias per lane: -oe_ins + (lane+1)*e_ins (block base added below)
+    const __m512i vbias0 = _mm512_add_epi32(
+        _mm512_set1_epi32(e_ins - oe_ins), lane_ei);
+    const __m512i ved = _mm512_set1_epi32(e_del);
+    const __m512i voed = _mm512_set1_epi32(oe_del);
+    const __m512i idx15 = _mm512_set1_epi32(15);
+    int32_t best = 0, te = -1, qe = -1;
+    for (int32_t i = 0; i < tlen; ++i) {
+        const int32_t* pc = prof.data() + (size_t)target[i] * Q;
+        __m512i carry = zero;              // u-space running max (u0=0)
+        __m512i cmv = zero;
+        __m512i jb = zero;                 // j0 * e_ins, accumulated
+        const __m512i jbstep = _mm512_set1_epi32(VLANES * e_ins);
+        for (int32_t b = 0; b < NB; ++b) {
+            const int32_t j0 = b * VLANES;
+            __m512i diag = _mm512_loadu_si512((const void*)(Hprev + j0));
+            __m512i pv = _mm512_loadu_si512((const void*)(pc + j0));
+            __m512i M = _mm512_add_epi32(diag, pv);
+            __m512i E = _mm512_loadu_si512(
+                (const void*)(Ebuf.data() + j0));
+            __m512i he = _mm512_max_epi32(_mm512_max_epi32(M, E), zero);
+            __m512i v = _mm512_add_epi32(he,
+                                         _mm512_add_epi32(vbias0, jb));
+            __m512i p = prefix_max_epi32(v, ninf);
+            // exclusive prefix (shift left one lane, -inf fill)
+            __m512i pex = _mm512_alignr_epi32(p, ninf, 15);
+            __m512i u = _mm512_max_epi32(carry, pex);
+            __m512i f = _mm512_sub_epi32(
+                u, _mm512_add_epi32(lane_ei, jb));
+            __m512i h = _mm512_max_epi32(he, f);
+            if (b == NB - 1)               // mask tail lanes to 0
+                h = _mm512_maskz_mov_epi32(tailmask, h);
+            __m512i En = _mm512_max_epi32(
+                _mm512_max_epi32(_mm512_sub_epi32(E, ved),
+                                 _mm512_sub_epi32(h, voed)), zero);
+            _mm512_storeu_si512((void*)(Ebuf.data() + j0), En);
+            _mm512_storeu_si512((void*)(Hnext + 1 + j0), h);
+            cmv = _mm512_max_epi32(cmv, h);
+            // carry_u for the next block: max over ALL v so far
+            carry = _mm512_max_epi32(
+                carry, _mm512_permutexvar_epi32(idx15, p));
+            jb = _mm512_add_epi32(jb, jbstep);
+        }
+        const int32_t cm = _mm512_reduce_max_epi32(cmv);
+        col_max[i] = cm;
+        if (cm > best) {
+            // first column attaining cm (scalar semantics: h > cm)
+            int32_t cj = -1;
+            const __m512i cmb = _mm512_set1_epi32(cm);
+            for (int32_t b = 0; b < NB && cj < 0; ++b) {
+                __m512i h = _mm512_loadu_si512(
+                    (const void*)(Hnext + 1 + b * VLANES));
+                __mmask16 eq = _mm512_cmpeq_epi32_mask(h, cmb);
+                if (eq) cj = b * VLANES + __builtin_ctz((uint32_t)eq);
+            }
+            best = cm; te = i; qe = cj;
+        }
+        int32_t* t = Hprev; Hprev = Hnext; Hnext = t;
+    }
+    *best_out = best; *te_out = te; *qe_out = qe;
+}
+
+#elif defined(__AVX2__)
+constexpr int VLANES = 8;
+
+inline __m256i shiftl_lanes(__m256i v, int k, __m256i fill) {
+    // shift v left by k 32-bit lanes (lane 0 lowest), fill with `fill`
+    alignas(32) int32_t tmp[16];
+    _mm256_store_si256((__m256i*)tmp, fill);
+    _mm256_store_si256((__m256i*)(tmp + 8), v);
+    return _mm256_loadu_si256((const __m256i*)(tmp + 8 - k));
+}
+
+inline __m256i prefix_max_epi32(__m256i v, __m256i ninf) {
+    v = _mm256_max_epi32(v, shiftl_lanes(v, 1, ninf));
+    v = _mm256_max_epi32(v, shiftl_lanes(v, 2, ninf));
+    v = _mm256_max_epi32(v, shiftl_lanes(v, 4, ninf));
+    return v;
+}
+
+void local_forward_simd(int32_t qlen, const uint8_t* query, int32_t tlen,
+                        const uint8_t* target, int32_t m,
+                        const int32_t* mat, int32_t o_del, int32_t e_del,
+                        int32_t o_ins, int32_t e_ins, int32_t* best_out,
+                        int32_t* te_out, int32_t* qe_out,
+                        int32_t* col_max) {
+    const int32_t oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+    const int32_t NB = (qlen + VLANES - 1) / VLANES;
+    const int32_t Q = NB * VLANES;
+    std::vector<int32_t> prof((size_t)m * Q, PROF_PAD);
+    for (int32_t c = 0; c < m; ++c)
+        for (int32_t j = 0; j < qlen; ++j)
+            prof[(size_t)c * Q + j] = mat[c * m + (int32_t)query[j]];
+    std::vector<int32_t> Hb0(Q + 1, 0), Hb1(Q + 1, 0), Ebuf(Q, 0);
+    int32_t* Hprev = Hb0.data();
+    int32_t* Hnext = Hb1.data();
+    const __m256i zero = _mm256_setzero_si256();
+    const __m256i ninf = _mm256_set1_epi32(MINUS_INF);
+    const __m256i lane = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+    const __m256i vei = _mm256_set1_epi32(e_ins);
+    const __m256i lane_ei = _mm256_mullo_epi32(lane, vei);
+    const __m256i vbias0 = _mm256_add_epi32(
+        _mm256_set1_epi32(e_ins - oe_ins), lane_ei);
+    const __m256i ved = _mm256_set1_epi32(e_del);
+    const __m256i voed = _mm256_set1_epi32(oe_del);
+    // tail lanes of the last block mask h to 0 (biased-prefix f leak)
+    const int32_t tail = qlen % VLANES;
+    alignas(32) int32_t tm[8];
+    for (int t = 0; t < 8; ++t)
+        tm[t] = (tail == 0 || t < tail) ? -1 : 0;
+    const __m256i tailmask = _mm256_load_si256((const __m256i*)tm);
+    int32_t best = 0, te = -1, qe = -1;
+    for (int32_t i = 0; i < tlen; ++i) {
+        const int32_t* pc = prof.data() + (size_t)target[i] * Q;
+        __m256i carry = zero;
+        __m256i cmv = zero;
+        __m256i jb = zero;
+        const __m256i jbstep = _mm256_set1_epi32(VLANES * e_ins);
+        for (int32_t b = 0; b < NB; ++b) {
+            const int32_t j0 = b * VLANES;
+            __m256i diag = _mm256_loadu_si256(
+                (const __m256i*)(Hprev + j0));
+            __m256i pv = _mm256_loadu_si256((const __m256i*)(pc + j0));
+            __m256i M = _mm256_add_epi32(diag, pv);
+            __m256i E = _mm256_loadu_si256(
+                (const __m256i*)(Ebuf.data() + j0));
+            __m256i he = _mm256_max_epi32(_mm256_max_epi32(M, E), zero);
+            __m256i v = _mm256_add_epi32(he,
+                                         _mm256_add_epi32(vbias0, jb));
+            __m256i p = prefix_max_epi32(v, ninf);
+            __m256i pex = shiftl_lanes(p, 1, ninf);
+            __m256i u = _mm256_max_epi32(carry, pex);
+            __m256i f = _mm256_sub_epi32(
+                u, _mm256_add_epi32(lane_ei, jb));
+            __m256i h = _mm256_max_epi32(he, f);
+            if (b == NB - 1)
+                h = _mm256_and_si256(h, tailmask);
+            __m256i En = _mm256_max_epi32(
+                _mm256_max_epi32(_mm256_sub_epi32(E, ved),
+                                 _mm256_sub_epi32(h, voed)), zero);
+            _mm256_storeu_si256((__m256i*)(Ebuf.data() + j0), En);
+            _mm256_storeu_si256((__m256i*)(Hnext + 1 + j0), h);
+            cmv = _mm256_max_epi32(cmv, h);
+            // broadcast lane 7 of p (cross-lane): permute + shuffle
+            __m256i hi = _mm256_permute2x128_si256(p, p, 0x11);
+            carry = _mm256_max_epi32(
+                carry, _mm256_shuffle_epi32(hi, 0xFF));
+            jb = _mm256_add_epi32(jb, jbstep);
+        }
+        alignas(32) int32_t ct[8];
+        _mm256_store_si256((__m256i*)ct, cmv);
+        int32_t cm = 0;
+        for (int t = 0; t < 8; ++t) cm = imax(cm, ct[t]);
+        col_max[i] = cm;
+        if (cm > best) {
+            int32_t cj = -1;
+            const int32_t* hr = Hnext + 1;
+            for (int32_t j = 0; j < qlen && cj < 0; ++j)
+                if (hr[j] == cm) cj = j;
+            best = cm; te = i; qe = cj;
+        }
+        int32_t* t2 = Hprev; Hprev = Hnext; Hnext = t2;
+    }
+    *best_out = best; *te_out = te; *qe_out = qe;
+}
+#endif
+
 // local SW forward pass; col_max must hold tlen entries.
-void local_forward(int32_t qlen, const uint8_t* query, int32_t tlen,
-                   const uint8_t* target, int32_t m, const int32_t* mat,
-                   int32_t o_del, int32_t e_del, int32_t o_ins,
-                   int32_t e_ins, int32_t* best_out, int32_t* te_out,
-                   int32_t* qe_out, int32_t* col_max) {
+void local_forward_scalar(int32_t qlen, const uint8_t* query,
+                          int32_t tlen, const uint8_t* target, int32_t m,
+                          const int32_t* mat, int32_t o_del,
+                          int32_t e_del, int32_t o_ins, int32_t e_ins,
+                          int32_t* best_out, int32_t* te_out,
+                          int32_t* qe_out, int32_t* col_max) {
     const int32_t oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
     std::vector<int32_t> H(qlen + 1, 0), E(qlen, 0);
     int32_t best = 0, te = -1, qe = -1;
@@ -250,6 +481,30 @@ void local_forward(int32_t qlen, const uint8_t* query, int32_t tlen,
         if (cm > best) { best = cm; te = i; qe = cj; }
     }
     *best_out = best; *te_out = te; *qe_out = qe;
+}
+
+inline void local_forward(int32_t qlen, const uint8_t* query,
+                          int32_t tlen, const uint8_t* target, int32_t m,
+                          const int32_t* mat, int32_t o_del,
+                          int32_t e_del, int32_t o_ins, int32_t e_ins,
+                          int32_t* best_out, int32_t* te_out,
+                          int32_t* qe_out, int32_t* col_max) {
+#if defined(__AVX512F__) || defined(__AVX2__)
+    // TPUBWA_KSW_SCALAR=1 forces the scalar path (A/B + fuzz harness)
+    static const bool force_scalar = [] {
+        const char* e = getenv("TPUBWA_KSW_SCALAR");
+        return e && *e && *e != '0';
+    }();
+    if (!force_scalar && qlen >= VLANES && e_ins > 0 && e_del > 0) {
+        local_forward_simd(qlen, query, tlen, target, m, mat, o_del,
+                           e_del, o_ins, e_ins, best_out, te_out,
+                           qe_out, col_max);
+        return;
+    }
+#endif
+    local_forward_scalar(qlen, query, tlen, target, m, mat, o_del,
+                         e_del, o_ins, e_ins, best_out, te_out, qe_out,
+                         col_max);
 }
 
 }  // namespace
