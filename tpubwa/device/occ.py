@@ -60,6 +60,29 @@ class DeviceIndex:
     def np_idt(self):
         return np.int32 if _fits_i32(self.seq_len) else np.int64
 
+    # -- index row accessors -------------------------------------------
+    # The ONLY surface through which the seeding machines and the SA
+    # walk touch the big index arrays.  dist/index_tp.py's
+    # TpMachineIndex overrides these four with psum-routed reads over
+    # a sharded mesh axis, which lets every machine in device/smem*.py
+    # run UNCHANGED over an index that does not fit one chip's HBM
+    # (SURVEY.md §2.2 TP row).
+    def occ_row(self, blk):
+        """Fused occ row(s) [.., 12] for block index blk."""
+        return self.occ_blocks[blk]
+
+    def mark_row_at(self, blk):
+        """Text-position-mark row(s) [.., 8] for block index blk."""
+        return self.mark_rows[blk]
+
+    def sa_marked_at(self, idx):
+        """Marked-SA value(s) at idx."""
+        return self.sa_marked[idx]
+
+    def sa_sample_at(self, idx):
+        """Rank-sampled SA value(s) at idx (stock-bwa indexes)."""
+        return self.sa_sample[idx]
+
     def tree_flatten(self):
         return ((self.occ_blocks, self.sa_sample, self.L2,
                  self.pac_words, self.mark_rows, self.sa_marked),
@@ -137,7 +160,7 @@ def occ4(didx: DeviceIndex, k: jnp.ndarray) -> jnp.ndarray:
     kk = jnp.where(k >= didx.primary, k - 1, k)
     kk = jnp.clip(kk, 0, didx.seq_len - 1)
     blk = kk >> 7
-    row = didx.occ_blocks[blk]                      # [..., 12]
+    row = didx.occ_row(blk)                         # [..., 12]
     base = row[..., :4].astype(didx.idt)
     words = row[..., 4:]
     nb = (kk - (blk << 7) + 1).astype(didx.idt)
@@ -159,7 +182,10 @@ def bwt_code(didx: DeviceIndex, x: jnp.ndarray) -> jnp.ndarray:
     x = x.astype(didx.idt)
     blk = x >> 7
     within = x - (blk << 7)
-    w = didx.occ_blocks[blk, 4 + (within >> 4)]
+    row = didx.occ_row(blk)
+    lanes = jnp.arange(12, dtype=I32)
+    w = jnp.sum(jnp.where(lanes == (4 + (within >> 4))[..., None],
+                          row, U32(0)), axis=-1, dtype=U32)
     sh = ((15 - (within & 15)) << 1).astype(U32)
     return ((w >> sh) & U32(3)).astype(didx.idt)
 
@@ -208,7 +234,7 @@ def inv_psi(didx: DeviceIndex, k: jnp.ndarray) -> jnp.ndarray:
     dt = didx.idt
     x = (k - (k > didx.primary)).astype(dt)
     blk = x >> 7
-    row = didx.occ_blocks[blk]                       # [..., 12]
+    row = didx.occ_row(blk)                          # [..., 12]
     within = (x - (blk << 7)).astype(I32)
     # BWT code: select word lane 4 + within//16 (one-hot, fuses)
     widx = 4 + (within >> 4)
@@ -241,7 +267,7 @@ def inv_psi(didx: DeviceIndex, k: jnp.ndarray) -> jnp.ndarray:
 def _mark_row(didx: DeviceIndex, k: jnp.ndarray):
     """Gather the 8-lane mark row for conceptual rank k and return
     (row, word, bitpos): word holds k's bit at position bitpos."""
-    row = didx.mark_rows[k >> 7]                     # [..., 8]
+    row = didx.mark_row_at(k >> 7)                   # [..., 8]
     within = (k - ((k >> 7) << 7)).astype(I32)
     wi = 1 + (within >> 5)
     lanes = jnp.arange(8, dtype=I32)
@@ -296,7 +322,7 @@ def sa_lookup(didx: DeviceIndex, ranks: jnp.ndarray) -> jnp.ndarray:
             0, didx.mark_D - 1, body,
             (ranks, jnp.zeros_like(ranks),
              jnp.zeros(ranks.shape, bool)))
-        return steps + didx.sa_marked[_mark_index(didx, k)]
+        return steps + didx.sa_marked_at(_mark_index(didx, k))
 
     def cond(state):
         k, steps = state
@@ -312,7 +338,7 @@ def sa_lookup(didx: DeviceIndex, ranks: jnp.ndarray) -> jnp.ndarray:
 
     k, steps = jax.lax.while_loop(
         cond, body, (ranks, jnp.zeros_like(ranks)))
-    return steps + didx.sa_sample[k // SA_INTV]
+    return steps + didx.sa_sample_at(k // SA_INTV)
 
 
 def get_ref_batch(didx: DeviceIndex, starts: jnp.ndarray,

@@ -46,6 +46,60 @@ I32 = jnp.int32
 RESTART, FWD, DONE = 0, 1, 3
 
 
+def _mxu_append(out, out_n, rows, store, B: int, CAP: int):
+    """Append ``rows[store]`` (rank-compacted, first-store-first) at
+    ``out[out_n:]`` WITHOUT an XLA scatter.
+
+    Scatter lowers to a serialized per-update loop on TPU — ~360 us
+    for 8192 updates vs ~20 us for this one-hot f32 matmul (MXU) +
+    one dynamic_update_slice (measured, scripts/exp_scatter_price.py;
+    the reason round-2's megaq machine LOST to mega on chip despite
+    2.9x fewer rounds).  Row values are split into exact 16-bit halves
+    so the f32 matmul (24-bit mantissa, exactly one nonzero addend per
+    output element) is exact for any non-negative int32/int64 row.
+
+    PRECISION IS LOAD-BEARING: the dot MUST run at Precision.HIGHEST.
+    TPU MXU f32 matmuls default to a single bf16 pass, which truncates
+    the 16-bit halves to 8-bit mantissas — that silent corruption is
+    what killed the round-3 landing of this rewrite on chip (garbage
+    src-lane columns -> host-decode IndexError at 8192; CPU tests
+    passed because CPU matmuls are exact f32).  With the one-hot side
+    exactly representable in bf16 (0/1) and exactly one nonzero addend
+    per output element, the multi-pass decomposition (a_hi*b_hi +
+    a_hi*b_lo + ...) reproduces b_hi + b_lo = b with no rounding, so
+    HIGHEST (and even HIGH) is provably exact here.
+
+    B is the per-round append budget (the matmul's static column
+    count); rows ranked past B or past CAP are NOT appended — they
+    come back in ``dropped`` and the caller flags them for the deep
+    retry path (both prefixes, so dropped rows never interleave with
+    appended ones).  ``out`` must carry B headroom rows past CAP: the
+    update-slice writes a full B-row block at out_n <= CAP and the
+    tail beyond the real appends is garbage that later appends or the
+    final [:out_n] consumer slice masks off."""
+    C = rows.shape[1]
+    dt = rows.dtype
+    erank = jnp.cumsum(store.astype(I32)) - 1
+    can = store & (erank < B) & (out_n + erank < CAP)
+    oh = (store[:, None] & (erank[:, None]
+                            == jnp.arange(B, dtype=I32)[None, :])
+          ).astype(jnp.float32)
+    nh = 4 if dt == jnp.int64 else 2
+    halves = jnp.concatenate(
+        [((rows >> (16 * h)) & 0xFFFF).astype(jnp.float32)
+         for h in range(nh)], axis=1)
+    comp = jnp.dot(oh.T, halves, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    ci = comp.astype(dt)
+    rec = ci[:, :C]
+    for h in range(1, nh):
+        rec = rec | (ci[:, h * C:(h + 1) * C] << (16 * h))
+    out = jax.lax.dynamic_update_slice(
+        out, rec, (out_n, jnp.zeros((), out_n.dtype)))
+    out_n = out_n + jnp.sum(can, dtype=I32)
+    return out, out_n, store & ~can
+
+
 def _fwd_phase(didx: DeviceIndex, q, lens, read, x0j, min_intv,
                one_shot, P: int, MAXC: int, max_rounds_f: int):
     """Forward passes of bwt_smem1a for N lanes (phase A).  Returns
@@ -270,12 +324,25 @@ def _fwd_phase_queue1(didx: DeviceIndex, q, lens, read, x0j, min_intv,
     lanes (mostly dead — ~1.3 live jobs per read over 2N slots) to
     ML and rounds from max-span to ~total-work/ML.
 
+    In-loop writes are scatter-free (round-2 perf fix): each lane
+    accumulates its CURRENT job's stack in a local [ML, P, 4] buffer
+    via where one-hots, and on job completion the fused record
+    (src, x, m, stack) appends to a global buffer with `_mxu_append`.
+    ONE scatter per dispatch (not per round) then permutes the
+    append-ordered records into the per-job snap/meta/nc tables.
+    Completions past the per-round append budget exert BACKPRESSURE:
+    the lane freezes (no state update at all) and re-executes the
+    identical round next time, so nothing is lost or reordered.
+    The rare stack-overflow flag scatter runs under lax.cond.
+
     Returns the `_fwd_phase` contract shapes for MAXC=1: dict with
     snap [NJ, 1, P, 4], meta [NJ, 1, 2], call [NJ] (0/1), ovf_s,
     ovf_c [NJ], rounds."""
     dt = didx.idt
     NJ = read.shape[0]
     L = q.shape[1]
+    FB = min(ML, 1024)      # per-round completion budget (matmul cols)
+    W = 3 + P * 4           # fused record: src, x, m, stack[P, 4]
 
     st0 = dict(
         qhead=jnp.zeros((), I32),
@@ -287,12 +354,13 @@ def _fwd_phase_queue1(didx: DeviceIndex, q, lens, read, x0j, min_intv,
         ik=jnp.zeros((ML, 3), dt),
         ik_qe=jnp.zeros(ML, I32),
         m=jnp.zeros(ML, I32),
-        snap=jnp.zeros((NJ * P, 4), dt),
-        meta=jnp.zeros((NJ, 2), I32),
-        nc=jnp.zeros(NJ, I32),
+        stl=jnp.zeros((ML, P, 4), dt),
+        app=jnp.zeros((NJ + FB, W), dt),
+        app_n=jnp.zeros((), I32),
         ovf=jnp.zeros(NJ, bool),
         rounds=jnp.zeros((), I32),
     )
+    jidx1 = jnp.arange(P, dtype=I32)[None, :]
 
     def cond(s):
         return (((s["qhead"] < n_jobs) | jnp.any(s["src"] >= 0))
@@ -301,7 +369,7 @@ def _fwd_phase_queue1(didx: DeviceIndex, q, lens, read, x0j, min_intv,
     def body(s):
         src, rd, mi = s["src"], s["rd"], s["mi"]
         x, i, ik, ik_qe, m = s["x"], s["i"], s["ik"], s["ik_qe"], s["m"]
-        snap, meta, nc, ovf = s["snap"], s["meta"], s["nc"], s["ovf"]
+        stl, app, app_n, ovf = s["stl"], s["app"], s["app_n"], s["ovf"]
         # ---- pull + restart (same round)
         empty = src < 0
         rank = jnp.cumsum(empty.astype(I32)) - 1
@@ -325,9 +393,12 @@ def _fwd_phase_queue1(didx: DeviceIndex, q, lens, read, x0j, min_intv,
         ik_qe = jnp.where(start, x + 1, ik_qe)
         i = jnp.where(start, x + 1, i)
         m = jnp.where(start, 0, m)
+        stl = jnp.where(start[:, None, None], 0, stl)
         src = jnp.where(dead0, -1, src)
 
-        # ---- forward step (bodyA of _fwd_phase, single-call form)
+        # ---- forward step (bodyA of _fwd_phase, single-call form):
+        # predicates first, then the fused append, then all state
+        # writes gated on ~frozen (budget backpressure)
         fw = src >= 0
         at_end = fw & (i >= len_i)
         pi = jnp.clip(i, 0, L - 1)
@@ -340,37 +411,65 @@ def _fwd_phase_queue1(didx: DeviceIndex, q, lens, read, x0j, min_intv,
         push = at_end | amb | schange
         can_push = push & (m < P)
         ovf_now = push & (m >= P)
-        ovf = ovf.at[jnp.where(ovf_now, src_c, NJ)].set(
-            True, mode="drop")
         row = jnp.concatenate([ik, ik_qe[:, None].astype(dt)], axis=1)
-        snap = snap.at[jnp.where(can_push, src_c * P + m, NJ * P)].set(
-            row, mode="drop")
-        m = m + push.astype(I32)
+        wm = can_push[:, None] & (jidx1 == m[:, None])
+        stl_new = jnp.where(wm[:, :, None], row[:, None, :], stl)
+        m_new = m + push.astype(I32)
+        trans = at_end | amb | failf
+        recW = jnp.concatenate(
+            [src_c[:, None].astype(dt), x[:, None].astype(dt),
+             m_new[:, None].astype(dt), stl_new.reshape(ML, P * 4)],
+            axis=1)
+        app, app_n, fdrop = _mxu_append(app, app_n, recW, trans,
+                                        FB, NJ)
+        frozen = fdrop          # trans lanes past the budget: freeze,
+        # identical round re-executes next time (appends <= 1/job, so
+        # the NJ-row buffer itself can never overflow)
+        live = jnp.logical_not(frozen)
+        stl = jnp.where((live & push)[:, None, None], stl_new, stl)
+        m = jnp.where(live & push, m_new, m)
+        ovf_eff = ovf_now & live
+        ovf = jax.lax.cond(
+            jnp.any(ovf_eff),
+            lambda o: o.at[jnp.where(ovf_eff, src_c, NJ)].set(
+                True, mode="drop"),
+            lambda o: o, ovf)
         adv = fw & ~at_end & ~amb & ~failf
         ik = jnp.where(adv[:, None], nik, ik)
         ik_qe = jnp.where(adv, i + 1, ik_qe)
         i = jnp.where(adv, i + 1, i)
-        trans = at_end | amb | failf
-        meta = meta.at[jnp.where(trans, src_c, NJ)].set(
-            jnp.stack([x, m], axis=1), mode="drop")
-        nc = nc.at[jnp.where(trans, src_c, NJ)].set(1, mode="drop")
-        src = jnp.where(trans | ovf_now, -1, src)
+        src = jnp.where((trans | ovf_now) & live, -1, src)
         return dict(qhead=qhead, src=src, rd=rd, mi=mi, x=x, i=i,
-                    ik=ik, ik_qe=ik_qe, m=m, snap=snap, meta=meta,
-                    nc=nc, ovf=ovf, rounds=s["rounds"] + 1)
+                    ik=ik, ik_qe=ik_qe, m=m, stl=stl, app=app,
+                    app_n=app_n, ovf=ovf, rounds=s["rounds"] + 1)
 
     out = jax.lax.while_loop(cond, body, st0)
+    # ---- ONE permutation scatter: append-ordered records -> per-job
+    # snap/meta/nc tables (the old code paid 3 scatters per ROUND)
+    app, app_n = out["app"], out["app_n"]
+    apos = jnp.arange(NJ + FB, dtype=I32)
+    avalid = apos < app_n
+    asrc = jnp.where(avalid, jnp.clip(app[:, 0].astype(I32), 0,
+                                      NJ - 1), NJ)
+    fused = jnp.zeros((NJ + 1, W), dt).at[asrc].set(
+        app, mode="drop")[:NJ]
+    nc = jnp.zeros(NJ + 1, I32).at[asrc].set(1, mode="drop")[:NJ]
+    snap = fused[:, 3:].reshape(NJ * P, 4)
+    meta = fused[:, 1:3].astype(I32)
     # round-cap hit: flag in-flight lanes' jobs and unserved entries
     ovf = out["ovf"]
     hung = out["src"] >= 0
-    ovf = ovf.at[jnp.where(hung, jnp.clip(out["src"], 0, NJ - 1),
-                           NJ)].set(True, mode="drop")
+    ovf = jax.lax.cond(
+        jnp.any(hung),
+        lambda o: o.at[jnp.where(hung, jnp.clip(out["src"], 0, NJ - 1),
+                                 NJ)].set(True, mode="drop"),
+        lambda o: o, ovf)
     pos = jnp.arange(NJ, dtype=I32)
     unserved = (pos >= out["qhead"]) & (pos < n_jobs)
     ovf = ovf | unserved
-    return dict(snap=out["snap"].reshape(NJ, 1, P, 4),
-                meta=out["meta"].reshape(NJ, 1, 2),
-                call=out["nc"], ovf_s=ovf,
+    return dict(snap=snap.reshape(NJ, 1, P, 4),
+                meta=meta.reshape(NJ, 1, 2),
+                call=nc, ovf_s=ovf,
                 ovf_c=jnp.zeros(NJ, bool), rounds=out["rounds"])
 
 
@@ -388,14 +487,21 @@ def _bwd_phase_queue(didx: DeviceIndex, q, lens, read, nc, meta_x,
     next unclaimed call whenever its current one finishes — rounds
     drop to ~ total-backward-work / ML + the longest single call.
 
-    Emissions append to a global [CAP, 6] buffer (x0, x1, size, qb,
-    qe, src_fwd_lane) via a per-round rank scatter; order is machine-
-    chronological, which both the device round-2 job builder and the
-    host decode consume identically (the final per-read multiset is
-    what the contract requires — collect_intv_device lexsorts).
+    Emissions append to a global [CAP + QB, 6] buffer (x0, x1, size,
+    qb, qe, src_fwd_lane) via a per-round one-hot MXU matmul + one
+    dynamic_update_slice (`_mxu_append` — an XLA scatter here costs
+    ~360 us/round serialized, ~17x this path; the round-2 reason mega
+    beat megaq on chip).  Order is round-major/lane-minor, which both
+    the device round-2 job builder and the host decode consume
+    identically (the final per-read multiset is what the contract
+    requires — collect_intv_device lexsorts; SA segments align by
+    buffer row).  The pull-side stack reload gather and the rare
+    overflow-flag scatter run under lax.cond so rounds without pulls
+    or drops skip them entirely.
 
-    Returns dict(out [CAP, 6], out_n, ovf [N] per-FWD-LANE flags
-    (emission drop | hung | unserved queue entries), rounds)."""
+    Returns dict(out [CAP + QB, 6] (valid rows [:out_n]), out_n,
+    ovf [N] per-FWD-LANE flags (emission drop | hung | unserved
+    queue entries), rounds)."""
     dt = didx.idt
     N = read.shape[0]
     L = q.shape[1]
@@ -418,6 +524,8 @@ def _bwd_phase_queue(didx: DeviceIndex, q, lens, read, nc, meta_x,
     mx_flat = meta_x.reshape(-1)
     mm_flat = meta_m.reshape(-1)
 
+    QB = min(ML, 2048)      # per-round append budget (matmul columns)
+
     st0 = dict(
         qhead=jnp.zeros((), I32),
         src=jnp.full(ML, -1, I32),
@@ -428,7 +536,7 @@ def _bwd_phase_queue(didx: DeviceIndex, q, lens, read, nc, meta_x,
         m=jnp.zeros(ML, I32),
         cem=jnp.zeros(ML, bool),
         lqb=jnp.zeros(ML, I32),
-        out=jnp.zeros((CAP, 6), dt),
+        out=jnp.zeros((CAP + QB, 6), dt),
         out_n=jnp.zeros((), I32),
         ovf=jnp.zeros(N, bool),
         rounds=jnp.zeros((), I32),
@@ -439,33 +547,47 @@ def _bwd_phase_queue(didx: DeviceIndex, q, lens, read, nc, meta_x,
                 & (s["rounds"] < max_rounds_b))
 
     def body(s):
-        src, rd, mi, i = s["src"], s["rd"], s["mi"], s["i"]
+        i = s["i"]
         st, m, cem, lqb = s["st"], s["m"], s["cem"], s["lqb"]
         out, out_n, ovf = s["out"], s["out_n"], s["ovf"]
-        # ---- pull: empty lanes claim the next queue entries
-        empty = src < 0
-        rank = jnp.cumsum(empty.astype(I32)) - 1
-        qi = s["qhead"] + rank
-        pull = empty & (qi < TC)
-        srcn = q_src[jnp.clip(qi, 0, NQ - 1)]
-        src = jnp.where(pull, srcn, src)
-        qhead = s["qhead"] + jnp.sum(pull, dtype=I32)
+        # ---- pull: empty lanes claim the next queue entries.  The
+        # whole reload (incl. the [ML, P]-row snapshot gather) runs
+        # under lax.cond: most rounds pull nothing, and the gather
+        # alone costs ~0.5-1 ms at ML=8192
+        empty = s["src"] < 0
+
+        def do_pull(c):
+            src, rd, mi, i, st, m, cem, lqb = c
+            rank = jnp.cumsum(empty.astype(I32)) - 1
+            qi = s["qhead"] + rank
+            pull = empty & (qi < TC)
+            srcn = q_src[jnp.clip(qi, 0, NQ - 1)]
+            src = jnp.where(pull, srcn, src)
+            qhead = s["qhead"] + jnp.sum(pull, dtype=I32)
+            src_c = jnp.clip(src, 0, NQ - 1)
+            m_c = mm_flat[src_c]
+            x_c = mx_flat[src_c]
+            # stack load, flipped push-order -> ascending-size
+            fidx = src_c[:, None] * P + jnp.clip(
+                m_c[:, None] - 1 - jidx, 0, P - 1)
+            ld = jnp.where((jidx < m_c[:, None])[..., None],
+                           snap_flat[fidx], 0)
+            st = jnp.where(pull[:, None, None], ld, st)
+            m = jnp.where(pull, m_c, m)
+            i = jnp.where(pull, x_c - 1, i)
+            cem = jnp.where(pull, False, cem)
+            lqb = jnp.where(pull, 0, lqb)
+            rd = jnp.where(pull, read[src_c // MAXC], rd)
+            mi = jnp.where(pull, min_intv[src_c // MAXC], mi)
+            return (src, rd, mi, i, st, m, cem, lqb), qhead
+
+        (src, rd, mi, i, st, m, cem, lqb), qhead = jax.lax.cond(
+            jnp.any(empty) & (s["qhead"] < TC),
+            do_pull,
+            lambda c: (c, s["qhead"]),
+            (s["src"], s["rd"], s["mi"], i, st, m, cem, lqb))
         src_c = jnp.clip(src, 0, NQ - 1)
         src_lane = src_c // MAXC
-        m_c = mm_flat[src_c]
-        x_c = mx_flat[src_c]
-        # stack load, flipped push-order -> ascending-size on the fly
-        fidx = src_c[:, None] * P + jnp.clip(m_c[:, None] - 1 - jidx,
-                                             0, P - 1)
-        ld = jnp.where((jidx < m_c[:, None])[..., None],
-                       snap_flat[fidx], 0)
-        st = jnp.where(pull[:, None, None], ld, st)
-        m = jnp.where(pull, m_c, m)
-        i = jnp.where(pull, x_c - 1, i)
-        cem = jnp.where(pull, False, cem)
-        lqb = jnp.where(pull, 0, lqb)
-        rd = jnp.where(pull, read[src_lane], rd)
-        mi = jnp.where(pull, min_intv[src_lane], mi)
 
         act = src >= 0
         bw = act & (m > 0)
@@ -485,17 +607,18 @@ def _bwd_phase_queue(didx: DeviceIndex, q, lens, read, nc, meta_x,
         p0 = st[:, 0]
         len_ok = (p0[:, 3].astype(I32) - (i + 1)) >= min_seed_len
         store = do_emit & len_ok
-        erank = jnp.cumsum(store.astype(I32)) - 1
-        gpos = out_n + erank
-        can = store & (gpos < CAP)
         row6 = jnp.concatenate(
             [p0[:, :3], (i + 1)[:, None].astype(dt), p0[:, 3:4],
              src_lane[:, None].astype(dt)], axis=1)
-        out = out.at[jnp.where(can, gpos, CAP)].set(row6, mode="drop")
-        out_n = out_n + jnp.sum(can, dtype=I32)
-        drop = store & ~can
-        ovf = ovf.at[jnp.where(drop, src_lane, N)].set(
-            True, mode="drop")
+        out, out_n, drop = _mxu_append(out, out_n, row6, store, QB,
+                                       CAP)
+        # drops (buffer/budget overflow) are rare: flag under cond so
+        # the ~360 us serialized scatter is skipped on normal rounds
+        ovf = jax.lax.cond(
+            jnp.any(drop),
+            lambda o: o.at[jnp.where(drop, src_lane, N)].set(
+                True, mode="drop"),
+            lambda o: o, ovf)
         cem = jnp.where(do_emit, True, cem)
         lqb = jnp.where(do_emit, i + 1, lqb)
         prev_ext = jnp.concatenate(
@@ -786,10 +909,12 @@ def smem_chunk_machine_q(didx: DeviceIndex, q: jnp.ndarray,
                             min_intv, P, MAXC, CAP1, ML,
                             min_seed_len, max_rounds_b)
     ovf1 = fovf1 | outB["ovf"]
-    out1, out_n1 = outB["out"], outB["out_n"]
+    # slice off the _mxu_append headroom; rows past out_n1 are garbage
+    # (masked by every consumer below via pos < out_n1)
+    out1, out_n1 = outB["out"][:CAP1], outB["out_n"]
     # ---- round-2 job construction (buffer order; host mirrors)
     pos = jnp.arange(CAP1, dtype=I32)
-    lane_col = out1[:, 5].astype(I32)
+    lane_col = jnp.clip(out1[:, 5].astype(I32), 0, N - 1)
     qual = ((pos < out_n1) & ~ovf1[lane_col] & ~one_shot[lane_col]
             & ((out1[:, 4] - out1[:, 3]).astype(I32) >= split_len)
             & (out1[:, 2] <= jnp.asarray(split_width, dt)))
@@ -826,10 +951,11 @@ def smem_chunk_machine_q(didx: DeviceIndex, q: jnp.ndarray,
                              mi2, Pr2, 1, CAP2, ML, min_seed_len,
                              max_rounds_b)
     ovf2 = fovf2 | outB2["ovf"]
-    parts = [outB["out"].reshape(-1), ovf1.astype(dt),
-             outB2["out"].reshape(-1), ovf2.astype(dt)]
+    out2 = outB2["out"][:CAP2]
+    parts = [out1.reshape(-1), ovf1.astype(dt),
+             out2.reshape(-1), ovf2.astype(dt)]
     if SCAPF > 0:
-        rows_all = jnp.concatenate([out1, outB2["out"]], axis=0)
+        rows_all = jnp.concatenate([out1, out2], axis=0)
         val = jnp.concatenate(
             [pos < out_n1,
              jnp.arange(CAP2, dtype=I32) < outB2["out_n"]])

@@ -133,23 +133,38 @@ def process_batches(opt: MemOpt, fmi: FMIndex, batch_iter,
     input order — output is deterministic regardless of overlap.
 
     batch_iter yields read batches (the caller controls chunking, so
-    pestat granularity matches stock bwa's chunk semantics)."""
+    pestat granularity matches stock bwa's chunk semantics).
+
+    Single-core overlap policy (round-4): the batch-level align-ahead
+    thread was measured HARMFUL on uniform corpora (emit ~0.8 s vs
+    align ~3.2 s: the thread only steals timeslices from native emit)
+    but is the single biggest lever on repeat-realistic corpora, where
+    emit is ~8.6 s of GIL-free C++ and the align phase spends ~8 s
+    BLOCKED on device syncs that emit can hide under.  Policy: start
+    serial, measure both walls, and flip overlap on (sticky) once
+    emit_wall >= 0.3 * align_wall.  TPUBWA_BATCH_OVERLAP=1/0 forces;
+    multi-core hosts keep the overlap unconditionally."""
+    import os
     from concurrent.futures import ThreadPoolExecutor
+    import time as _time
     if mat is None:
         mat = opt.scoring_matrix()
     from ..utils import serial_pipeline
-    if serial_pipeline():
-        # single-core host: the align-ahead thread contends with
-        # native emit for the one core (same measured effect as the
-        # chunk-level prefetch — device/pipeline.py:align_batch)
-        n_processed = n_processed0
-        for batch in batch_iter:
-            all_regs = align_phase(opt, fmi, batch, mat, align_fn)
-            lines = emit_phase(opt, fmi, batch, all_regs, n_processed,
-                               mat, rg_id, pes0)
-            n_processed += len(batch)
-            yield batch, lines
-        return
+    force = os.environ.get("TPUBWA_BATCH_OVERLAP")
+    if force is not None and force.strip():
+        overlap = force.strip().lower() not in ("0", "false", "no",
+                                                "off")
+        adaptive = False
+    elif os.environ.get("TPUBWA_NO_PREFETCH", "").strip():
+        # explicit prefetch force (either way): follow it verbatim,
+        # no adaptivity — scaling_report and the prefetch-mode
+        # equality tests rely on deterministic scheduling
+        overlap = not serial_pipeline()
+        adaptive = False
+    else:
+        overlap = not serial_pipeline()
+        adaptive = not overlap
+    n_processed = n_processed0
     with ThreadPoolExecutor(max_workers=1) as ex:
         def stage1():
             batch = next(batch_iter, None)
@@ -157,15 +172,24 @@ def process_batches(opt: MemOpt, fmi: FMIndex, batch_iter,
                 return None
             return batch, align_phase(opt, fmi, batch, mat, align_fn)
 
-        n_processed = n_processed0
-        fut = ex.submit(stage1)
+        fut = ex.submit(stage1) if overlap else None
         while True:
-            res = fut.result()
+            t0 = _time.perf_counter()
+            res = fut.result() if fut is not None else stage1()
+            t_align = _time.perf_counter() - t0
             if res is None:
                 break
-            fut = ex.submit(stage1)
+            fut = ex.submit(stage1) if overlap else None
             batch, all_regs = res
+            t0 = _time.perf_counter()
             lines = emit_phase(opt, fmi, batch, all_regs, n_processed,
                                mat, rg_id, pes0)
+            t_emit = _time.perf_counter() - t0
+            if adaptive and not overlap and t_emit >= 0.3 * t_align:
+                # emit is heavy enough to hide the next batch's device
+                # waits under; flip the lookahead on (sticky)
+                overlap = True
+                log.info("[M::process_batches] overlap on "
+                         "(emit %.2fs vs align %.2fs)", t_emit, t_align)
             n_processed += len(batch)
             yield batch, lines
