@@ -86,6 +86,14 @@ class DeviceAligner:
             from ..dist.sharding import DataParallel
             dp = DataParallel(mesh=mesh)
             self.didx = dp.replicate_index(self.didx)
+            # a 'tp' mesh axis requests index-sharded seeding: the
+            # megaq machine runs over psum-routed occ/mark/SA slabs
+            # (dist/index_tp.py:seed_machine_tp) so the seeding index
+            # needs only 1/|tp| of each chip's HBM (SURVEY §2.2 TP row)
+            self.tpidx = None
+            if "tp" in mesh.axis_names:
+                from ..dist.index_tp import TpIndex
+                self.tpidx = TpIndex(fmi, mesh, axis="tp")
 
             def put_sharded(x):
                 return jax.device_put(np.ascontiguousarray(x),
@@ -268,7 +276,8 @@ class DeviceAligner:
         flat, frid, qd, sa = collect_intv_device(
             self.opt, self.didx, arr, lens, fmi=self.fmi, mode=mode,
             put_sharded=self.put_sharded, put_repl=self.put_repl,
-            return_flat=True, return_qd=True, return_sa=True)
+            return_flat=True, return_qd=True, return_sa=True,
+            tp=getattr(self, "tpidx", None))
         counts = np.bincount(frid, minlength=arr.shape[0])[:len(chunk)]
         intv = (flat, counts)
         positions = (self._sa_merge(flat, *sa) if sa is not None

@@ -427,7 +427,8 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                         put_repl=None,
                         return_flat: bool = False,
                         return_qd: bool = False,
-                        return_sa: bool = False) -> List[np.ndarray]:
+                        return_sa: bool = False,
+                        tp=None) -> List[np.ndarray]:
     """Full 3-round mem_collect_intv for a batch, device-accelerated.
     Returns per-read [n, 5] int64 (x0, x1, size, qb, qe) sorted by
     (qb, qe) — the contract of ref.smem.collect_intv.
@@ -640,7 +641,8 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                 (rows12, rids12, sa_cnt12,
                  sa_pos12) = rounds12_megaq(opt, didx, qd, ld,
                                             lens_np, reads, split_len,
-                                            fmi, put=put_sharded)
+                                            fmi, put=put_sharded,
+                                            tp=tp)
             except Exception:  # pragma: no cover - backend-dependent
                 # megaq is the modeled-fastest machine but its lowering
                 # has more moving parts (queue scatters); if a backend

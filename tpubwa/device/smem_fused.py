@@ -1203,10 +1203,14 @@ def dispatch_chunk_machine_q(didx, qd, ld, read, x0, min_intv,
                              one_shot, P, MAXC, CAPF, CAPF2,
                              min_seed_len, split_len, split_width,
                              put=jnp.asarray, max_rounds_b=1024,
-                             MLX=1, P2=0, SCAPF=0, max_occ=500):
+                             MLX=1, P2=0, SCAPF=0, max_occ=500,
+                             tp=None):
     """Pad lanes to pow2 and dispatch the queue-scheduled two-round
     chunk machine (async).  SCAPF > 0 fuses the SA stage into the
-    same dispatch (see smem_chunk_machine_q)."""
+    same dispatch (see smem_chunk_machine_q).  tp: a dist.index_tp.
+    TpIndex — the IDENTICAL machine then runs over the sharded index
+    under shard_map (psum-routed occ/mark/SA reads); same buffer
+    contract, so decode_chunk_machine_q is unchanged."""
     n = len(read)
     mpad = _pad_pow2(n)
     J2 = 2 * mpad
@@ -1219,6 +1223,15 @@ def dispatch_chunk_machine_q(didx, qd, ld, read, x0, min_intv,
     jobs[:n, 1] = x0
     jobs[:n, 2] = min_intv
     jobs[:n, 3] = one_shot
+    if tp is not None:
+        from ..dist.index_tp import seed_machine_tp
+        buf = seed_machine_tp(tp, qd, ld, jobs, P, MAXC, CAPF, CAPF2,
+                              int(min_seed_len), int(split_len),
+                              int(split_width),
+                              max_rounds_b=int(max_rounds_b),
+                              MLX=int(MLX), P2=int(P2),
+                              SCAPF=int(SCAPF), max_occ=int(max_occ))
+        return buf, mpad, n, J2, CAPF, CAPF2, SCAPF, max_occ
     buf = smem_chunk_machine_q(didx, qd, ld, put(jobs), P, MAXC,
                                CAPF, J2, CAPF2, int(MLX),
                                int(min_seed_len), int(split_len),
@@ -1311,7 +1324,7 @@ def decode_chunk_machine_q(handle):
 
 
 def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
-                   put=jnp.asarray):
+                   put=jnp.asarray, tp=None):
     """Rounds 1-2 of mem_collect_intv on the queue-scheduled mega
     machine: ONE dispatch per <= MACH reads plus one deep tail machine
     for overflow lanes.  Returns (rows, rids, sa_cnt, sa_pos): the
@@ -1362,7 +1375,7 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
             np.zeros(e - s, bool), P, MAXC, 5, 1,
             opt.min_seed_len, split_len, opt.split_width, put=put,
             max_rounds_b=RB_CAP, MLX=MLX, P2=QB_P2, SCAPF=SCAPF,
-            max_occ=opt.max_occ)))
+            max_occ=opt.max_occ, tp=tp)))
     for s, h in handles:
         (rows1, lane1, ovf1, rows2, lane2, ovf2,
          j2n_dev, sa) = decode_chunk_machine_q(h)
@@ -1411,6 +1424,12 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         tail_default = 512 if _smem_lib() is not None else 8
         TAIL_HOST = int(_os.environ.get("TPUBWA_TAIL_HOST",
                                         tail_default))
+        if tp is not None and fmi is not None:
+            # TP mode: the deep-tail machine would need the REPLICATED
+            # index (which a >1-HBM deployment does not have on any
+            # single chip) — the host scalar path (which owns the host
+            # FMIndex anyway) redoes every tail instead
+            TAIL_HOST = len(tail_jobs)
         if len(tail_jobs) <= TAIL_HOST and fmi is not None:
             scalar_full_jobs(tail_jobs)
             tail_jobs = []

@@ -47,13 +47,15 @@ class TpIndex:
 
     def __init__(self, fmi, mesh: Mesh, axis: str = "tp"):
         didx = DeviceIndex.from_fmindex(fmi)
-        n = mesh.devices.size
+        n = mesh.shape[axis]   # shards along the tp axis only (the
+        # mesh may carry other axes, e.g. dp for the job dimension)
         self.mesh = mesh
         self.axis = axis
         self.idt = didx.idt
         self.np_idt = didx.np_idt
         self.primary = didx.primary
         self.seq_len = didx.seq_len
+        self.l_pac = didx.l_pac
         self.mark_D = didx.mark_D
         shard = NamedSharding(mesh, P(axis))
         repl = NamedSharding(mesh, P())
@@ -235,3 +237,136 @@ class TpIndex:
                       out_specs=P(), check_vma=False)
         return f(self.occ_blocks, self.mark_rows, self.sa_marked,
                  self.L2, ranks)
+
+
+# ---------------------------------------------------------------------
+# TP-sharded seeding: the UNCHANGED megaq machine over a sharded index
+# ---------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class TpMachineIndex:
+    """DeviceIndex duck-type whose big-array reads are psum-routed.
+
+    Lives INSIDE a shard_map body: each shard holds a contiguous slab
+    of occ_blocks/mark_rows/sa_marked (1/n of the index memory) plus
+    the replicated small arrays; `occ_row`/`mark_row_at`/
+    `sa_marked_at` answer the rows the shard owns and psum over the
+    mesh axis routes the full answer to every shard.  All machine
+    state is replicated, so every shard runs the IDENTICAL machine
+    trajectory — the collective per occ read is the entire
+    communication cost (SURVEY.md §2.2 TP row: "shard occ/SA by
+    k-range, route lookups over ICI").
+
+    pac stays replicated: at 2 bits/base it is ~8x smaller than
+    occ+SA, and extension tiles read it with data-local gathers.
+    """
+
+    def __init__(self, occ_local, mark_local, sam_local, L2, pac_words,
+                 sa_sample, primary, seq_len, l_pac, mark_D, axis,
+                 occ_total, mark_total, sam_total):
+        self.occ_local = occ_local
+        self.mark_local = mark_local
+        self.sam_local = sam_local
+        self.L2 = L2
+        self.pac_words = pac_words
+        self.sa_sample = sa_sample
+        self.primary = primary
+        self.seq_len = seq_len
+        self.l_pac = l_pac
+        self.mark_D = mark_D
+        self.axis = axis
+        self.occ_total = occ_total
+        self.mark_total = mark_total
+        self.sam_total = sam_total
+
+    # pytree protocol (the machine is jitted with didx as an argument)
+    def tree_flatten(self):
+        return ((self.occ_local, self.mark_local, self.sam_local,
+                 self.L2, self.pac_words, self.sa_sample),
+                (self.primary, self.seq_len, self.l_pac, self.mark_D,
+                 self.axis, self.occ_total, self.mark_total,
+                 self.sam_total))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def idt(self):
+        from ..device.occ import _fits_i32
+        return jnp.int32 if _fits_i32(self.seq_len) else jnp.int64
+
+    @property
+    def np_idt(self):
+        from ..device.occ import _fits_i32
+        return np.int32 if _fits_i32(self.seq_len) else np.int64
+
+    def _routed(self, table, total, idx, is_row):
+        nsh = jax.lax.psum(1, self.axis)
+        per = total // nsh
+        li = idx - jax.lax.axis_index(self.axis) * per
+        mine = (li >= 0) & (li < per)
+        v = table[jnp.clip(li, 0, per - 1)]
+        if is_row:
+            mine = mine[..., None]
+        v = jnp.where(mine, v, jnp.zeros_like(v))
+        return jax.lax.psum(v, self.axis)
+
+    def occ_row(self, blk):
+        return self._routed(self.occ_local, self.occ_total, blk, True)
+
+    def mark_row_at(self, blk):
+        return self._routed(self.mark_local, self.mark_total, blk,
+                            True)
+
+    def sa_marked_at(self, idx):
+        return self._routed(self.sam_local, self.sam_total, idx, False)
+
+    def sa_sample_at(self, idx):
+        # rank-sampled SA is only used by mark-less (stock-bwa-load)
+        # indexes; TP seeding requires the marked walk
+        raise NotImplementedError("TP seeding needs a marked index")
+
+
+def seed_machine_tp(tpidx: TpIndex, qd, ld, jobs_np, P_, MAXC, CAPF,
+                    CAPF2, min_seed_len, split_len, split_width,
+                    max_rounds_b=1024, MLX=1, P2=0, SCAPF=0,
+                    max_occ=500):
+    """Run the queue-scheduled megaq chunk machine
+    (device/smem_fused.py:smem_chunk_machine_q, UNCHANGED) over the
+    TP-sharded index: ONE shard_map, index slabs P('tp'), machine
+    state replicated, outputs replicated.  Same flat-buffer contract
+    as dispatch_chunk_machine_q, so decode_chunk_machine_q consumes
+    the result unchanged."""
+    from ..device.smem_fused import smem_chunk_machine_q
+    mesh, axis = tpidx.mesh, tpidx.axis
+    n = len(jobs_np)
+    J2 = 2 * n
+    statics = dict(P=P_, MAXC=MAXC, CAPF=CAPF, J2=J2, CAPF2=CAPF2,
+                   MLX=int(MLX), min_seed_len=int(min_seed_len),
+                   split_len=int(split_len),
+                   split_width=int(split_width),
+                   max_rounds_b=int(max_rounds_b), P2=int(P2),
+                   SCAPF=int(SCAPF), max_occ=int(max_occ))
+    aux = (tpidx.primary, tpidx.seq_len, tpidx.l_pac, tpidx.mark_D,
+           axis, tpidx.occ_rows_total, tpidx.mark_rows_total,
+           tpidx.sa_marked_total)
+
+    def local(occ_l, mark_l, sam_l, L2, q, lens, jobs):
+        # the seeding machine touches the index ONLY through occ/mark/
+        # SA rows (pac is an extension-stage array) — dummies for the
+        # unused pac_words/sa_sample leaves
+        ldx = TpMachineIndex(occ_l, mark_l, sam_l, L2,
+                             jnp.zeros(1, jnp.uint32),
+                             jnp.zeros(1, L2.dtype), *aux)
+        return smem_chunk_machine_q(ldx, q, lens, jobs, **statics)
+
+    f = shard_map(local, mesh=mesh,
+                  in_specs=(P(axis), P(axis), P(axis), P(), P(),
+                            P(), P()),
+                  out_specs=P(), check_vma=False)
+    repl = NamedSharding(mesh, P())
+    return f(tpidx.occ_blocks, tpidx.mark_rows, tpidx.sa_marked,
+             tpidx.L2, jax.device_put(np.asarray(qd), repl),
+             jax.device_put(np.asarray(ld), repl),
+             jax.device_put(jobs_np, repl))
