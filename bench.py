@@ -134,11 +134,32 @@ def measure_row(log, genome_mb, realistic, n_pairs_batch, n_batches=3,
     t0 = time.time()
     process_seqs(opt, fmi, warm, 0, align_fn=aligner)
     log(f"[bench] warmup batch (compiles): {time.time() - t0:.1f}s")
+    def link_rtt():
+        """Median-of-3 tiny dispatch+sync round trip, in ms — run
+        before each rep so attempt swings can be attributed to link
+        drift vs host/corpus effects (round-3 verdict weak #4: the
+        GRCh38 row swung 204 vs 488 reads/s unexplained)."""
+        import jax
+        import jax.numpy as jnp
+        x = jnp.zeros(8, jnp.int32)
+        f = jax.jit(lambda v: v + 1)
+        np.asarray(f(x))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(x))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        return sorted(ts)[1]
+
+    from tpubwa.host.native_emit import emit_stats
     attempts = []
     for rep in range(repeats):
         batches = [simulate_pe(bnt, n_pairs_batch, 100, rng)
                    for _ in range(n_batches)]
         n_reads = sum(len(b) for b in batches)
+        rtt = link_rtt()
+        emit_stats(reset=True)
+        w0 = aligner.extender.n_waves
         t0 = time.perf_counter()
         n_lines = 0
         for batch, lines in process_batches(opt, fmi, iter(batches), 0,
@@ -146,9 +167,16 @@ def measure_row(log, genome_mb, realistic, n_pairs_batch, n_batches=3,
             n_lines += len(lines)
         dt = time.perf_counter() - t0
         attempts.append(n_reads / dt)
+        es = emit_stats() or {}
+        emit_cpu = (es.get("matesw_ns", 0) + es.get("gen_alt_ns", 0)
+                    + es.get("reg2aln_ns", 0) + es.get("aln2sam_ns", 0)
+                    + es.get("mem_pair_ns", 0)
+                    + es.get("mark_primary_ns", 0)) / 1e9
         log(f"[bench] row {genome_mb}Mb{'r' if realistic else ''} "
             f"rep {rep}: {n_reads} PE reads in {dt:.2f}s "
-            f"({attempts[-1]:.0f} reads/s), {n_lines} records")
+            f"({attempts[-1]:.0f} reads/s), {n_lines} records | "
+            f"link_rtt {rtt:.1f}ms, emit-cpu {emit_cpu:.2f}s, "
+            f"waves {aligner.extender.n_waves - w0}")
     del aligner
     import gc
     gc.collect()   # release the row's HBM (the 3.1 Gbp index is ~10 GB

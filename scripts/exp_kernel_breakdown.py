@@ -75,13 +75,34 @@ def build_kernel(variant, tmax):
             (i, eh_h, eh_e, beg, end, best, dead) = c
             return (i < tile_tmax) & (jnp.min(dead) == _c(0))
 
-        def body(c):
+        def body(c, strip=None):
             (i, eh_h, eh_e, beg, end, best, dead) = c
             act = (dead == _c(0)) & (i < tlen)
             beg_i = jnp.maximum(beg, i - ww)
             end_i = jnp.minimum(jnp.minimum(end, i + ww + 1), qlen)
             if variant == "no-transpose":
                 tb = jnp.broadcast_to(_c(1), (J, 1))
+            elif variant == "tdot":
+                # transpose-free: t arrives job-major [J, tmax]; row
+                # i's column comes from an MXU matvec against a
+                # one-hot (exact: codes 0..4 in f32/bf16, one nonzero
+                # addend).  tf32 is hoisted above the loop.
+                tf32, tmx = strip
+                oh = (jax.lax.broadcasted_iota(I32, (tmx, 1), 0)
+                      == i).astype(jnp.float32)
+                tb = jnp.dot(tf32, oh,
+                             preferred_element_type=jnp.float32
+                             ).astype(I32)
+            elif variant == "t8-slice":
+                # fix candidate (strip mode): the outer loop advances
+                # 8 rows per iteration and hands each sub-row its
+                # column of a [J, 8] strip (one slice+transpose per 8
+                # rows); here `i` is the row and the strip arrives
+                # via closure (see body8 below)
+                sel = jax.lax.broadcasted_iota(I32, (J, 8), 1) \
+                    == (i & _c(7))
+                tb = jnp.sum(jnp.where(sel, strip, _c(0)), axis=1,
+                             keepdims=True)
             else:
                 ii = jnp.clip(i, _c(0), _c(t_ref.shape[0] - 1))
                 tb = t_ref[pl.ds(ii, 1), :].reshape(1, J).T
@@ -140,6 +161,22 @@ def build_kernel(variant, tmax):
             def body2(c):
                 return body(body(c))
             state = jax.lax.while_loop(cond, body2, init)
+        elif variant == "t8-slice":
+            def body8(c):
+                i = c[0]
+                ii = jnp.clip(i, _c(0), _c(t_ref.shape[0] - 8))
+                strip = t_ref[pl.ds(ii, 8), :].reshape(8, J).T
+                for _ in range(8):
+                    c = body(c, strip)
+                return c
+            state = jax.lax.while_loop(cond, body8, init)
+        elif variant == "tdot":
+            tf32 = t_ref[:, :].astype(jnp.float32)   # [J, tmax] once
+            tmx = t_ref.shape[1]
+
+            def bodyd(c):
+                return body(c, (tf32, tmx))
+            state = jax.lax.while_loop(cond, bodyd, init)
         else:
             state = jax.lax.while_loop(cond, body, init)
         (_, eh_h, eh_e, beg, end, best, dead) = state
@@ -154,7 +191,7 @@ def build_kernel(variant, tmax):
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((q.shape[0], 128), I32),
-        )(q, t.T, p)
+        )(q, t if variant == "tdot" else t.T, p)
     return launch
 
 
@@ -179,8 +216,9 @@ def main():
     qj, tj, pj = (jnp.asarray(x) for x in (q, t, p))
     K = args.reps
     base = None
-    for variant in ("baseline", "no-transpose", "no-scan", "no-roll",
-                    "no-reduce", "no-trim", "unroll2"):
+    for variant in ("baseline", "no-transpose", "t8-slice", "tdot",
+                    "no-scan", "no-roll", "no-reduce", "no-trim",
+                    "unroll2"):
         launch = build_kernel(variant, TMAX)
 
         @functools.partial(jax.jit, static_argnames=("k",))
