@@ -76,6 +76,24 @@ def _prefix_max(x):
     return x
 
 
+def _tree_red(x, op):
+    """Full-row reduction as a cyclic log-roll tree -> [J, 1].
+
+    Mosaic lowers jnp.max/min(axis=1) through a lane relayout that
+    costs ~0.45 ms per reduction per 512-job launch on the v5e —
+    ~2.2 ms of the round-3 kernel's 3.1 ms total (5 reductions/row;
+    scripts/exp_kernel_real.py).  A tree of pltpu.roll + op leaves
+    every lane holding the full-row reduction at the cost of the
+    prefix scan's nearly-free rolls; the static lane-0 slice extracts
+    it.  3.12 -> 1.87 ms/launch measured, bit-identical output."""
+    n = x.shape[-1]
+    sh = 1
+    while sh < n:
+        x = op(x, _roll1(x, sh))
+        sh <<= 1
+    return x[:, 0:1]
+
+
 def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
                    o_ins, e_ins, zdrop, tmax):
     J = q_ref.shape[0]
@@ -144,10 +162,20 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
         F = jnp.where(lane == beg_i, _c(0), F)
         H = jnp.maximum(he, F)
         H = jnp.where(in_band, jnp.maximum(H, _c(0)), _c(0))
-        m = jnp.max(jnp.where(in_band, H, _c(NEG)), axis=1, keepdims=True)
-        m = jnp.maximum(m, _c(0))
-        mj = jnp.max(jnp.where(in_band & (H == m), lane, _c(-1)), axis=1,
-                     keepdims=True)
+        # row max AND its argmax in ONE packed tree reduction: max over
+        # H*NL+lane; ties take the larger lane, exactly upstream's
+        # `mj = m > h1 ? mj : j` last-wins rule (ksw.c:~330).
+        # Precondition: H*NL < 2^31, i.e. scores < 2^22 at NL=512 —
+        # scores are bounded by h0 + qlen*a <= ~2*511*a, so this holds
+        # for any sane match bonus (a < 4000).
+        sh_nl = NL.bit_length() - 1
+        pk = _tree_red(jnp.where(in_band, H * _c(NL) + lane, _c(NEG)),
+                       jnp.maximum)
+        m = jnp.maximum(jax.lax.shift_right_arithmetic(pk, _c(sh_nl)),
+                        _c(0))
+        # pk == NEG (empty band) leaves mj garbage; every consumer is
+        # gated on m > 0, which forces a valid pk
+        mj = pk & _c(NL - 1)
         t_del = jnp.maximum(M - oe_del, _c(0))
         Enew = jnp.maximum(eh_e - e_del, t_del)
         # write-backs
@@ -161,8 +189,9 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
         cl = act & closed
         eh_h = jnp.where(cl & (lane == end_i), h1_first, eh_h)
         eh_e = jnp.where(cl & (lane == end_i), _c(0), eh_e)
-        h_open = jnp.sum(jnp.where(lane == end_i - _c(1), H, _c(0)), axis=1,
-                         keepdims=True, dtype=I32)
+        # exactly one lane is nonzero and H >= 0: a max tree equals the sum
+        h_open = _tree_red(jnp.where(lane == end_i - _c(1), H, _c(0)),
+                           jnp.maximum)
         h_last = jnp.where(closed, h1_first, h_open).astype(I32)
         at_qend = act & (end_i == qlen) & (h_last >= gscore)
         max_ie = jnp.where(at_qend, i, max_ie)
@@ -190,12 +219,15 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
         # adaptive band trim on the updated arrays
         nz = (eh_h != _c(0)) | (eh_e != _c(0))
         in_sc = (lane >= beg_i) & (lane < end_i)
-        first_nz = jnp.min(jnp.where(in_sc & nz, lane, _c(NL + 2)),
-                           axis=1, keepdims=True)
+        first_nz = _tree_red(jnp.where(in_sc & nz, lane, _c(NL + 2)),
+                             jnp.minimum)
         beg_n = jnp.minimum(first_nz, end_i)
-        in_s2 = (lane >= beg_n) & (lane <= end_i)
-        last_nz = jnp.max(jnp.where(in_s2 & nz, lane, _c(NEG)), axis=1,
-                          keepdims=True)
+        # upstream scans [beg_n, end_i] for the last nonzero, but lanes
+        # in [beg_i, beg_n) are zero by beg_n's definition, so scanning
+        # [beg_i, end_i] finds the same lane — and the two tree
+        # reductions lose their sequential dependency
+        last_nz = _tree_red(jnp.where((in_sc | (lane == end_i)) & nz,
+                                      lane, _c(NEG)), jnp.maximum)
         j_dn = jnp.where(last_nz == _c(NEG), beg_n - _c(1), last_nz)
         end_n = jnp.minimum(j_dn + 2, qlen)
         beg = jnp.where(alive, beg_n, beg)
@@ -203,8 +235,14 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
         return (i + 1, eh_h, eh_e, beg, end, best, max_i, max_j,
                 max_ie, gscore, max_off, dead)
 
+    # Empty jobs (tlen<=0: pad rows, absent right-extensions, and the
+    # non-retrying majority in band-doubling retry launches) can never
+    # set act, so without this they pin min(dead)==0 and every retry
+    # launch runs the FULL tile row count for the ~2% of jobs retrying.
+    # Seeding dead=1 for them is bit-exact: act gates every write-back.
     init = (jnp.zeros((), I32), eh_h, eh_e, zero1, qlen + 0, h0 + 0,
-            zero1 - 1, zero1 - 1, zero1 - 1, zero1 - 1, zero1, zero1)
+            zero1 - 1, zero1 - 1, zero1 - 1, zero1 - 1, zero1,
+            (tlen <= _c(0)).astype(I32))
     state = jax.lax.while_loop(cond, body, init)
     (_, eh_h, eh_e, beg, end, best, max_i, max_j, max_ie, gscore,
      max_off, dead) = state
