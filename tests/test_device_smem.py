@@ -379,6 +379,41 @@ def test_hybrid_small_chunk_degrades_to_host(setup, monkeypatch):
         assert _key(got[i]) == want, f"read {i}"
 
 
+def test_hybrid_sticky_degrade_window(setup, monkeypatch):
+    """A degrade window opened by the balancer (host_until > chunks,
+    set when the device share's equal-wall split falls below 0.08)
+    hands the WHOLE chunk to host mode: rows equal the oracle, sa is
+    None (host mode leaves SA to the classic stage), and the chunk
+    counter still advances so the split is re-probed after the window
+    expires — at which point the megaq share runs again (sa tuple)."""
+    monkeypatch.setenv("TPUBWA_HYBRID_AUTO", "1")
+    monkeypatch.setenv("TPUBWA_HYBRID_K_FLOOR", "8")
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    opt = MemOpt()
+    reads = [text[i * 97:i * 97 + 100].copy() for i in range(60)]
+    arr, lens = _pack_reads(reads, 100)
+    st = {"f": 0.25, "chunks": 0, "host_until": 2}
+    object.__setattr__(didx, "_hybrid_state", st)
+    for step in range(2):   # inside the window: pure host mode
+        flat, frid, sa = collect_intv_device(
+            opt, didx, arr, lens, fmi=fmi, mode="hybrid",
+            return_flat=True, return_sa=True)
+        assert sa is None, f"device share ran inside window (step {step})"
+        assert st["chunks"] == step + 1
+    got = collect_intv_device(opt, didx, arr, lens, fmi=fmi,
+                              mode="hybrid")
+    for i in (0, 30, 59):
+        want = sorted((m.x0, m.x1, m.size, m.qb, m.qe)
+                      for m in collect_intv(opt, fmi, reads[i]))
+        assert _key(got[i]) == want, f"read {i}"
+    # window expired: the re-probe chunk crosses the seam again
+    flat, frid, sa = collect_intv_device(
+        opt, didx, arr, lens, fmi=fmi, mode="hybrid",
+        return_flat=True, return_sa=True)
+    assert sa is not None, "re-probe after the window must use the seam"
+
+
 def test_machine_mode_without_fmi_degrades_overflow_to_reach(
         setup, monkeypatch):
     """fmi=None with a machine mode must not crash on overflow lanes:

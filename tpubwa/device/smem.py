@@ -512,6 +512,18 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                 st = _HYBRID_STATE.setdefault(id(didx), st)
         if auto:
             frac = st["f"]
+            if st.get("chunks", 0) < st.get("host_until", -1):
+                # sticky degrade window set by the balancer below:
+                # the device share measured far slower than native on
+                # this corpus, so the WHOLE chunk goes to host mode;
+                # after the window the split is re-probed (cheap: the
+                # probe share is near the floor bucket)
+                st["chunks"] = st.get("chunks", 0) + 1
+                return collect_intv_device(
+                    opt, didx, reads, lens, fmi=fmi, mode="host",
+                    put_sharded=put_sharded, put_repl=put_repl,
+                    return_flat=return_flat, return_qd=return_qd,
+                    return_sa=return_sa)
         k = int(B * frac)
         # quantize the ADAPTIVE device share to a pow2 bucket: the
         # megaq machine's lane count is shape-relevant, so a
@@ -581,7 +593,18 @@ def collect_intv_device(opt, didx: DeviceIndex, reads: np.ndarray,
                 rate_h = (B - k) / t_host      # reads/s host share
                 f_star = rate_d / (rate_d + rate_h)
                 f_new = 0.5 * st["f"] + 0.5 * f_star   # damped
-                st["f"] = float(min(max(f_new, 0.15), 0.85))
+                # degrade, don't clamp: on repeat-heavy corpora the
+                # machine share runs ~15x slower than native (r4 chip
+                # profile: 890 vs 15k reads/s — overflow lanes + fixed
+                # dispatch cost), so a 0.15 floor forces every chunk's
+                # wall to the slow side.  Below half the old floor the
+                # balancer hands the WHOLE chunk to host mode; sticky,
+                # revisited every 16 chunks in case the read mix shifts
+                st["f"] = float(min(max(f_new, 0.02), 0.85))
+                if f_star < 0.08:
+                    st["host_until"] = st.get("chunks", 0) + 16
+        if auto:
+            st["chunks"] = st.get("chunks", 0) + 1
         if return_sa:
             dflat, dfrid, dsa = dev
         else:

@@ -1421,7 +1421,12 @@ def rounds12_megaq(opt, didx, qd, ld, lens_np, reads, split_len, fmi,
         # read vs ~60 ms Python at 64 Mb) the host path wins up to
         # hundreds of jobs, so the deep machine becomes the exception.
         from ..host.native_smem import _lib as _smem_lib
-        tail_default = 512 if _smem_lib() is not None else 8
+        # realistic corpora overflow ~1.2k lanes per 8k-read chunk
+        # (r4 chip profile) — at ~0.04 ms/read native that is ~50 ms
+        # on the host vs a deep-machine dispatch whose ~145 queue
+        # rounds each pay the tunneled link; native wins to chunk
+        # scale, so the deep machine is only for the no-native case
+        tail_default = 4096 if _smem_lib() is not None else 8
         TAIL_HOST = int(_os.environ.get("TPUBWA_TAIL_HOST",
                                         tail_default))
         if tp is not None and fmi is not None:
