@@ -26,6 +26,7 @@ mem_chain2aln is pinned by tests/test_extend_fused.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List
 
 import jax
@@ -120,6 +121,81 @@ def _ref_codes(didx, pos):
     return jnp.where(rev, 3 - c, c)
 
 
+def _unpack16(words):
+    """[N, K] uint32 pac words -> [N, 16K] int32 codes in ascending
+    position order (position p&15 == 0 holds the word's high bits)."""
+    sh = (2 * (15 - jnp.arange(16, dtype=jnp.uint32)))[None, None, :]
+    c = ((words[:, :, None] >> sh) & jnp.uint32(3)).astype(I32)
+    return c.reshape(words.shape[0], -1)
+
+
+def _fine16(strip, a, Wd):
+    """strip [N, S] (S >= Wd + 15), a [N] in 0..15 ->
+    out[n, j] = strip[n, a[n] + j]: a 16-way select over STATIC slices
+    (a data-dependent gather here is the cost this replaces)."""
+    out = strip[:, 0:Wd]
+    for s in range(1, 16):
+        out = jnp.where(a[:, None] == s, strip[:, s:s + Wd], out)
+    return out
+
+
+def _ref_window(didx, p0, step_desc, tlen, tmax):
+    """Reference tile [N, tmax]: codes at doubled positions p0, p0+d,
+    p0+2d, ... (d = -1 when step_desc else +1), masked to 4 beyond
+    tlen.  The extension window never crosses the fwd/rev boundary
+    (host/regions.py clips rmax around l_pac), so the folded image of
+    the window is one CONTIGUOUS pac range: gather ceil(tmax/16)+1
+    WORDS per job instead of one word per base (the per-base gather
+    was 57% of the extend-desc wall on the realistic corpus —
+    scripts/exp_desc_breakdown.py), unpack, and shift by the sub-word
+    offset with a 16-way static-slice select."""
+    lp = didx.l_pac
+    p0 = jnp.clip(p0, 0, 2 * lp - 1)
+    rev = p0 >= lp
+    q0 = jnp.where(rev, 2 * lp - 1 - p0, p0)
+    # folded direction: the rev fold mirrors the step
+    asc = rev if step_desc else ~rev
+    K = tmax // 16 + 1
+    wq = (q0 >> 4).astype(I32)
+    wb = jnp.where(asc, wq, wq - (K - 1))
+    nw = didx.pac_words.shape[0]
+    widx = jnp.clip(wb[:, None] + jnp.arange(K, dtype=I32)[None, :],
+                    0, nw - 1)
+    strip = _unpack16(didx.pac_words[widx])        # [N, 16K] ascending
+    strip = jnp.where(asc[:, None], strip, strip[:, ::-1])
+    aa = (q0 & 15).astype(I32)
+    tile = _fine16(strip, jnp.where(asc, aa, 15 - aa), tmax)
+    tile = jnp.where(rev[:, None], 3 - tile, tile)
+    jT = jnp.arange(tmax, dtype=I32)[None, :]
+    return jnp.where(jT < tlen[:, None], tile, 4)
+
+
+def _query_window(qrow, off, step_desc, qlen, W):
+    """Query tile [N, W] from per-job read rows [N, L]: codes at row
+    offsets off, off+d, ... masked to 4 beyond qlen.  Same select-shift
+    scheme as _ref_window with a coarse 16-aligned level first (off is
+    an arbitrary in-read position, not a sub-word offset).  The
+    descending case reverses the ROW first so off stays in 0..L-1."""
+    N, L = qrow.shape
+    if step_desc:
+        # out[j] = row[off - j] == reversed-row[(L-1-off) + j]
+        qrow = qrow[:, ::-1]
+        off = (L - 1) - off
+    C = (L + 15) // 16
+    pad = 16 * (C - 1) + W + 16 - L
+    strip = jnp.concatenate(
+        [qrow.astype(I32), jnp.full((N, pad), 4, I32)], axis=1)
+    c = off >> 4
+    a = off & 15
+    s1 = strip[:, 0:W + 16]
+    for k in range(1, C):
+        s1 = jnp.where(c[:, None] == k, strip[:, 16 * k:16 * k + W + 16],
+                       s1)
+    tile = _fine16(s1, a, W)
+    jW = jnp.arange(W, dtype=I32)[None, :]
+    return jnp.where(jW < qlen[:, None], tile, 4)
+
+
 def _extend_seed_desc_impl(didx, qreads, desc, a, b, o_del, e_del,
                            o_ins, e_ins, zdrop, W, tmax, interpret):
     read = desc[:, 0].astype(I32)
@@ -138,20 +214,30 @@ def _extend_seed_desc_impl(didx, qreads, desc, a, b, o_del, e_del,
     tlenR = jnp.where(qlenR > 0,
                       (rmax1 - rbeg).astype(I32) - slen, 0)
     L = qreads.shape[1]
-    jW = jnp.arange(W, dtype=I32)[None, :]
-    qL = jnp.where(jW < qlenL[:, None],
-                   qreads[read[:, None],
-                          jnp.clip(qbeg[:, None] - 1 - jW, 0, L - 1)]
-                   .astype(I32), 4)
-    qR = jnp.where(jW < qlenR[:, None],
-                   qreads[read[:, None],
-                          jnp.clip(qe[:, None] + jW, 0, L - 1)]
-                   .astype(I32), 4)
-    jT = jnp.arange(tmax, dtype=desc.dtype)[None, :]
-    tL = jnp.where(jT < tlenL[:, None],
-                   _ref_codes(didx, rbeg[:, None] - 1 - jT), 4)
-    tR = jnp.where(jT < tlenR[:, None],
-                   _ref_codes(didx, (rbeg + slen)[:, None] + jT), 4)
+    if os.environ.get("TPUBWA_TILE_GATHER", "word") == "element":
+        # pre-round-4 per-base gather path, kept for A/B
+        jW = jnp.arange(W, dtype=I32)[None, :]
+        qL = jnp.where(jW < qlenL[:, None],
+                       qreads[read[:, None],
+                              jnp.clip(qbeg[:, None] - 1 - jW, 0, L - 1)]
+                       .astype(I32), 4)
+        qR = jnp.where(jW < qlenR[:, None],
+                       qreads[read[:, None],
+                              jnp.clip(qe[:, None] + jW, 0, L - 1)]
+                       .astype(I32), 4)
+        jT = jnp.arange(tmax, dtype=desc.dtype)[None, :]
+        tL = jnp.where(jT < tlenL[:, None],
+                       _ref_codes(didx, rbeg[:, None] - 1 - jT), 4)
+        tR = jnp.where(jT < tlenR[:, None],
+                       _ref_codes(didx, (rbeg + slen)[:, None] + jT), 4)
+    else:
+        qrow = jnp.take(qreads, read, axis=0)      # [N, L] row gather
+        qL = _query_window(qrow, jnp.clip(qbeg - 1, 0, L - 1), True,
+                           qlenL, W)
+        qR = _query_window(qrow, jnp.clip(qe, 0, L - 1), False,
+                           qlenR, W)
+        tL = _ref_window(didx, rbeg - 1, True, tlenL, tmax)
+        tR = _ref_window(didx, rbeg + slen, False, tlenR, tmax)
     # internal kernel-chunking: one device dispatch (~40-50 ms of link
     # floor) covers all VMEM-sized Pallas launches of the wave.  The
     # chunk loop is a lax.scan so the kernel body compiles ONCE per
@@ -187,26 +273,32 @@ def _extend_seed_desc_impl(didx, qreads, desc, a, b, o_del, e_del,
 @functools.partial(
     jax.jit,
     static_argnames=("a", "b", "o_del", "e_del", "o_ins", "e_ins",
-                     "zdrop", "W", "tmax", "interpret"))
+                     "zdrop", "W", "tmax", "interpret", "out16"))
 def extend_seed_desc(didx, qreads, desc, a, b, o_del, e_del, o_ins,
-                     e_ins, zdrop, W, tmax, interpret=False):
+                     e_ins, zdrop, W, tmax, interpret=False,
+                     out16=False):
     """Descriptor-mode fused extension: tiles are built ON DEVICE.
 
     qreads: uint8 [B, L] resident chunk reads; desc idt [N, 11]:
     (read_row, qbeg, slen, l_query, rbeg, rmax0, rmax1, w, h0, pen5,
-    pen3).  Returns flat int32 [N * 16]."""
-    return _extend_seed_desc_impl(didx, qreads, desc, a, b, o_del,
-                                  e_del, o_ins, e_ins, zdrop, W, tmax,
-                                  interpret)
+    pen3).  Returns flat int32 [N * 16] (int16 when out16: every row
+    value is bounded by ~2*qmax*a + pens, so the caller enables it for
+    sane scoring and halves the result's bytes on the wire — the
+    tunneled link is ~50 MB/s)."""
+    out = _extend_seed_desc_impl(didx, qreads, desc, a, b, o_del,
+                                 e_del, o_ins, e_ins, zdrop, W, tmax,
+                                 interpret)
+    return out.astype(jnp.int16) if out16 else out
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("a", "b", "o_del", "e_del", "o_ins", "e_ins",
-                     "zdrop", "W", "tmax", "interpret", "mesh"))
+                     "zdrop", "W", "tmax", "interpret", "mesh",
+                     "out16"))
 def extend_seed_desc_sharded(didx, qreads, desc, a, b, o_del, e_del,
                              o_ins, e_ins, zdrop, W, tmax, mesh,
-                             interpret=False):
+                             interpret=False, out16=False):
     """Data-parallel descriptor extension: the Pallas kernel cannot be
     GSPMD-partitioned, so the whole desc body (tile gathers + fused
     passes) runs under shard_map with the job axis sharded over 'dp'
@@ -216,9 +308,10 @@ def extend_seed_desc_sharded(didx, qreads, desc, a, b, o_del, e_del,
     import jax.tree_util as jtu
 
     def local(didx_, qreads_, desc_):
-        return _extend_seed_desc_impl(didx_, qreads_, desc_, a, b,
-                                      o_del, e_del, o_ins, e_ins,
-                                      zdrop, W, tmax, interpret)
+        out = _extend_seed_desc_impl(didx_, qreads_, desc_, a, b,
+                                     o_del, e_del, o_ins, e_ins,
+                                     zdrop, W, tmax, interpret)
+        return out.astype(jnp.int16) if out16 else out
 
     didx_spec = jtu.tree_map(lambda _: P(), didx)
     return shard_map(local, mesh=mesh,
@@ -248,7 +341,10 @@ def extend_seed_desc_np(didx, qd, jobs, mat, o_del, e_del, o_ins,
     tlL = np.where(da[:n, 1] > 0, da[:n, 4] - da[:n, 5], 0)
     tlR = np.where(da[:n, 3] - da[:n, 1] - da[:n, 2] > 0,
                    da[:n, 6] - da[:n, 4] - da[:n, 2], 0)
-    order = sorted(range(n), key=lambda i: -(int(tlL[i]) + int(tlR[i])))
+    # stable descending by total target length == the old
+    # sorted(..., key=-(tlL+tlR)) contract, without the 100k-row
+    # Python loop (was ~100 ms/wave of the realistic-corpus profile)
+    order = np.argsort(-(tlL.astype(np.int64) + tlR), kind="stable")
     W = width_for(int(max(da[:n, 1].max(initial=0),
                           (da[:n, 3] - da[:n, 1] - da[:n, 2])
                           .max(initial=0))))
@@ -269,8 +365,11 @@ def extend_seed_desc_np(didx, qd, jobs, mat, o_del, e_del, o_ins,
     desc = np.zeros((N, 11), didx.np_idt)
     desc[:, 8] = 1   # h0 > 0 for pad rows
     desc[:, 7] = 1   # w > 0
-    for slot, i in enumerate(order):
-        desc[slot] = da[i]
+    desc[:n] = da[order]
+    # int16 result wire: all row values are bounded by
+    # ~2*qmax*a + clips (score/qle/tle/gtle/gscore/max_off/aw/sc0);
+    # halves the D2H bytes whenever the bound fits (default a=1 does)
+    out16 = (2 * 1024 * ab[0] + 512) < 32767
     # one dispatch per wave: each extra dispatch+sync costs ~40-50 ms
     # of link floor (scripts/exp_machine_cost.py); the program scans
     # over its N/CH kernel chunks internally
@@ -284,18 +383,17 @@ def extend_seed_desc_np(didx, qd, jobs, mat, o_del, e_del, o_ins,
                 didx, qd,
                 jax.device_put(desc[off:off + step], shrd), ab[0],
                 ab[1], o_del, e_del, o_ins, e_ins, zdrop, W, tm, mesh,
-                interpret))
+                interpret, out16))
     else:
         for off in range(0, N, step):
             futs.append(extend_seed_desc(
                 didx, qd, jnp.asarray(desc[off:off + step]), ab[0],
                 ab[1], o_del, e_del, o_ins, e_ins, zdrop, W, tm,
-                interpret))
+                interpret, out16))
     res = np.concatenate([np.asarray(f).reshape(-1, 16) for f in futs],
                          axis=0)
     out = np.zeros((n, 16), np.int32)
-    for slot, i in enumerate(order):
-        out[i] = res[slot]
+    out[order] = res[:n]
     return out
 
 
