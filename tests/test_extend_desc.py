@@ -86,9 +86,12 @@ def _materialize(bnt, reads, d):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
-def test_word_path_equals_element_path(setup, seed, monkeypatch):
+@pytest.mark.parametrize("tmax", [256, 250])
+def test_word_path_equals_element_path(setup, seed, tmax):
     """The word-gather tile builder must produce the exact rows of the
-    per-base gather path (eager calls so the env flip is honored)."""
+    per-base gather path.  gather is now an explicit static argument
+    (ADVICE r4: the env var used to be read at trace time); tmax=250
+    exercises the non-multiple-of-16 strip bound fix."""
     import jax.numpy as jnp
     fmi, didx, codes = setup
     rng = np.random.default_rng(seed)
@@ -100,11 +103,9 @@ def test_word_path_equals_element_path(setup, seed, monkeypatch):
     desc = jnp.asarray(da.astype(didx.np_idt))
     qd = jnp.asarray(reads)
     args = (didx, qd, desc, opt.a, opt.b, opt.o_del, opt.e_del,
-            opt.o_ins, opt.e_ins, opt.zdrop, 128, 256, True)
-    monkeypatch.setenv("TPUBWA_TILE_GATHER", "element")
-    want = np.asarray(_extend_seed_desc_impl(*args))
-    monkeypatch.setenv("TPUBWA_TILE_GATHER", "word")
-    got = np.asarray(_extend_seed_desc_impl(*args))
+            opt.o_ins, opt.e_ins, opt.zdrop, 128, tmax, True)
+    want = np.asarray(_extend_seed_desc_impl(*args, gather="element"))
+    got = np.asarray(_extend_seed_desc_impl(*args, gather="word"))
     assert got.tolist() == want.tolist()
 
 

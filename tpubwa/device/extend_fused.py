@@ -155,7 +155,10 @@ def _ref_window(didx, p0, step_desc, tlen, tmax):
     q0 = jnp.where(rev, 2 * lp - 1 - p0, p0)
     # folded direction: the rev fold mirrors the step
     asc = rev if step_desc else ~rev
-    K = tmax // 16 + 1
+    # strip must cover tmax lanes at every sub-word shift 0..15:
+    # 16K >= tmax + 15 for ANY tmax, not just multiples of 16
+    # (ADVICE r4: tmax//16+1 under-allocates when tmax % 16 > 1)
+    K = (tmax + 30) // 16
     wq = (q0 >> 4).astype(I32)
     wb = jnp.where(asc, wq, wq - (K - 1))
     nw = didx.pac_words.shape[0]
@@ -197,7 +200,8 @@ def _query_window(qrow, off, step_desc, qlen, W):
 
 
 def _extend_seed_desc_impl(didx, qreads, desc, a, b, o_del, e_del,
-                           o_ins, e_ins, zdrop, W, tmax, interpret):
+                           o_ins, e_ins, zdrop, W, tmax, interpret,
+                           gather="word"):
     read = desc[:, 0].astype(I32)
     qbeg = desc[:, 1].astype(I32)
     slen = desc[:, 2].astype(I32)
@@ -214,7 +218,7 @@ def _extend_seed_desc_impl(didx, qreads, desc, a, b, o_del, e_del,
     tlenR = jnp.where(qlenR > 0,
                       (rmax1 - rbeg).astype(I32) - slen, 0)
     L = qreads.shape[1]
-    if os.environ.get("TPUBWA_TILE_GATHER", "word") == "element":
+    if gather == "element":
         # pre-round-4 per-base gather path, kept for A/B
         jW = jnp.arange(W, dtype=I32)[None, :]
         qL = jnp.where(jW < qlenL[:, None],
@@ -273,10 +277,11 @@ def _extend_seed_desc_impl(didx, qreads, desc, a, b, o_del, e_del,
 @functools.partial(
     jax.jit,
     static_argnames=("a", "b", "o_del", "e_del", "o_ins", "e_ins",
-                     "zdrop", "W", "tmax", "interpret", "out16"))
+                     "zdrop", "W", "tmax", "interpret", "out16",
+                     "gather"))
 def extend_seed_desc(didx, qreads, desc, a, b, o_del, e_del, o_ins,
                      e_ins, zdrop, W, tmax, interpret=False,
-                     out16=False):
+                     out16=False, gather="word"):
     """Descriptor-mode fused extension: tiles are built ON DEVICE.
 
     qreads: uint8 [B, L] resident chunk reads; desc idt [N, 11]:
@@ -284,10 +289,12 @@ def extend_seed_desc(didx, qreads, desc, a, b, o_del, e_del, o_ins,
     pen3).  Returns flat int32 [N * 16] (int16 when out16: every row
     value is bounded by ~2*qmax*a + pens, so the caller enables it for
     sane scoring and halves the result's bytes on the wire — the
-    tunneled link is ~50 MB/s)."""
+    tunneled link is ~50 MB/s).  gather ('word'|'element') is a
+    STATIC arg so an env flip after first compile cannot be silently
+    ignored (ADVICE r4: it used to be read at trace time)."""
     out = _extend_seed_desc_impl(didx, qreads, desc, a, b, o_del,
                                  e_del, o_ins, e_ins, zdrop, W, tmax,
-                                 interpret)
+                                 interpret, gather)
     return out.astype(jnp.int16) if out16 else out
 
 
@@ -295,10 +302,11 @@ def extend_seed_desc(didx, qreads, desc, a, b, o_del, e_del, o_ins,
     jax.jit,
     static_argnames=("a", "b", "o_del", "e_del", "o_ins", "e_ins",
                      "zdrop", "W", "tmax", "interpret", "mesh",
-                     "out16"))
+                     "out16", "gather"))
 def extend_seed_desc_sharded(didx, qreads, desc, a, b, o_del, e_del,
                              o_ins, e_ins, zdrop, W, tmax, mesh,
-                             interpret=False, out16=False):
+                             interpret=False, out16=False,
+                             gather="word"):
     """Data-parallel descriptor extension: the Pallas kernel cannot be
     GSPMD-partitioned, so the whole desc body (tile gathers + fused
     passes) runs under shard_map with the job axis sharded over 'dp'
@@ -310,7 +318,8 @@ def extend_seed_desc_sharded(didx, qreads, desc, a, b, o_del, e_del,
     def local(didx_, qreads_, desc_):
         out = _extend_seed_desc_impl(didx_, qreads_, desc_, a, b,
                                      o_del, e_del, o_ins, e_ins,
-                                     zdrop, W, tmax, interpret)
+                                     zdrop, W, tmax, interpret,
+                                     gather)
         return out.astype(jnp.int16) if out16 else out
 
     didx_spec = jtu.tree_map(lambda _: P(), didx)
@@ -368,8 +377,17 @@ def extend_seed_desc_np(didx, qd, jobs, mat, o_del, e_del, o_ins,
     desc[:n] = da[order]
     # int16 result wire: all row values are bounded by
     # ~2*qmax*a + clips (score/qle/tle/gtle/gscore/max_off/aw/sc0);
-    # halves the D2H bytes whenever the bound fits (default a=1 does)
-    out16 = (2 * 1024 * ab[0] + 512) < 32767
+    # halves the D2H bytes whenever the bound fits (default a=1 does).
+    # tle/gtle are bounded by tm and qle/max_off/aw by ~W, so those
+    # must fit too (ADVICE r4: oversized tmax would silently wrap)
+    out16 = ((2 * 1024 * ab[0] + 512) < 32767 and tm < 32767
+             and 2 * W < 32767
+             and 2 * int(da[:n, 7].max(initial=1)) < 32767)
+    # tile-gather mode is resolved HERE (not at trace time) and passed
+    # as a static jit arg, so A/B flips after first compile take effect
+    gather = os.environ.get("TPUBWA_TILE_GATHER", "word")
+    if gather not in ("word", "element"):
+        gather = "word"
     # one dispatch per wave: each extra dispatch+sync costs ~40-50 ms
     # of link floor (scripts/exp_machine_cost.py); the program scans
     # over its N/CH kernel chunks internally
@@ -383,13 +401,13 @@ def extend_seed_desc_np(didx, qd, jobs, mat, o_del, e_del, o_ins,
                 didx, qd,
                 jax.device_put(desc[off:off + step], shrd), ab[0],
                 ab[1], o_del, e_del, o_ins, e_ins, zdrop, W, tm, mesh,
-                interpret, out16))
+                interpret, out16, gather))
     else:
         for off in range(0, N, step):
             futs.append(extend_seed_desc(
                 didx, qd, jnp.asarray(desc[off:off + step]), ab[0],
                 ab[1], o_del, e_del, o_ins, e_ins, zdrop, W, tm,
-                interpret, out16))
+                interpret, out16, gather))
     res = np.concatenate([np.asarray(f).reshape(-1, 16) for f in futs],
                          axis=0)
     out = np.zeros((n, 16), np.int32)
