@@ -41,6 +41,9 @@ JOBS = 64            # minimum chunk (sublanes)
 import os as _os
 CHUNK = int(_os.environ.get("TPUBWA_EXT_CHUNK", 512))
                      # jobs per grid-free kernel launch (VMEM-bound)
+# row-reduction layout default, resolved ONCE at import (a static jit
+# arg: pass trees= explicitly to A/B after import)
+TREES_DEFAULT = _os.environ.get("TPUBWA_KERNEL_TREES", "split")
 
 
 def chunk_for(width: int) -> int:
@@ -94,8 +97,31 @@ def _tree_red(x, op):
     return x[:, 0:1]
 
 
+def _reduce4(trees, pk_in, ho_in, fn_in, ln_in):
+    """The row loop's four full-row reductions -> four [J, 1] columns
+    (pk packed max+argmax; h_open; first_nz as a MIN; last_nz).
+
+    trees='split': four independent roll trees (the round-4 layout).
+    trees='stacked': first_nz negated (min == -max(-x)) and all four
+    stacked on the sublane axis -> ONE roll tree over [4J, NL]; the
+    VPU rolls 4x the data but Mosaic pays the per-op lowering cost
+    (relayout bookkeeping, loop overhead) once instead of 4x.  Which
+    regime dominates is measured by scripts/exp_kernel_floor.py;
+    results are bit-identical either way."""
+    if trees == "stacked":
+        J = pk_in.shape[0]
+        stk = jnp.concatenate([pk_in, ho_in, -fn_in, ln_in], axis=0)
+        r = _tree_red(stk, jnp.maximum)
+        return (r[0:J], r[J:2 * J], -r[2 * J:3 * J], r[3 * J:4 * J])
+    return (_tree_red(pk_in, jnp.maximum),
+            _tree_red(ho_in, jnp.maximum),
+            _tree_red(fn_in, jnp.minimum),
+            _tree_red(ln_in, jnp.maximum))
+
+
 def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
-                   o_ins, e_ins, zdrop, tmax):
+                   o_ins, e_ins, zdrop, tmax, trees="split",
+                   ablate=()):
     J = q_ref.shape[0]
     NL = q_ref.shape[1]          # lane width (qlen <= NL - 1)
     oe_del = o_del + e_del
@@ -155,30 +181,22 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
         M = jnp.where(in_band, M, _c(NEG))
         E = jnp.where(in_band, eh_e, _c(NEG))
         he = jnp.maximum(M, E)
-        t_ins = jnp.where(in_band, jnp.maximum(M - oe_ins, _c(0)), _c(NEG))
-        pm = _prefix_max(t_ins + lane * e_ins)
-        pm1 = _roll1(pm, 1)
-        F = jnp.where(lane >= _c(1), pm1 - (lane - 1) * e_ins, _c(NEG))
+        if "scan" in ablate:      # timing-only floor variant
+            F = jnp.full((J, NL), NEG, I32)
+        else:
+            t_ins = jnp.where(in_band, jnp.maximum(M - oe_ins, _c(0)),
+                              _c(NEG))
+            pm = _prefix_max(t_ins + lane * e_ins)
+            pm1 = _roll1(pm, 1)
+            F = jnp.where(lane >= _c(1), pm1 - (lane - 1) * e_ins,
+                          _c(NEG))
         F = jnp.where(lane == beg_i, _c(0), F)
         H = jnp.maximum(he, F)
         H = jnp.where(in_band, jnp.maximum(H, _c(0)), _c(0))
-        # row max AND its argmax in ONE packed tree reduction: max over
-        # H*NL+lane; ties take the larger lane, exactly upstream's
-        # `mj = m > h1 ? mj : j` last-wins rule (ksw.c:~330).
-        # Precondition: H*NL < 2^31, i.e. scores < 2^22 at NL=512 —
-        # scores are bounded by h0 + qlen*a <= ~2*511*a, so this holds
-        # for any sane match bonus (a < 4000).
-        sh_nl = NL.bit_length() - 1
-        pk = _tree_red(jnp.where(in_band, H * _c(NL) + lane, _c(NEG)),
-                       jnp.maximum)
-        m = jnp.maximum(jax.lax.shift_right_arithmetic(pk, _c(sh_nl)),
-                        _c(0))
-        # pk == NEG (empty band) leaves mj garbage; every consumer is
-        # gated on m > 0, which forces a valid pk
-        mj = pk & _c(NL - 1)
         t_del = jnp.maximum(M - oe_del, _c(0))
         Enew = jnp.maximum(eh_e - e_del, t_del)
-        # write-backs
+        # write-backs (independent of the row reductions below, so all
+        # four reductions can run as one stacked tree — see _reduce4)
         upd = act & jnp.logical_not(closed)
         Hroll = _roll1(H, 1)
         wm_h = (lane > beg_i) & (lane <= end_i)
@@ -189,9 +207,40 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
         cl = act & closed
         eh_h = jnp.where(cl & (lane == end_i), h1_first, eh_h)
         eh_e = jnp.where(cl & (lane == end_i), _c(0), eh_e)
-        # exactly one lane is nonzero and H >= 0: a max tree equals the sum
-        h_open = _tree_red(jnp.where(lane == end_i - _c(1), H, _c(0)),
-                           jnp.maximum)
+        # ---- the four full-row reductions of the row step:
+        # pk: row max AND its argmax in ONE packed tree: max over
+        # H*NL+lane; ties take the larger lane, exactly upstream's
+        # `mj = m > h1 ? mj : j` last-wins rule (ksw.c:~330).
+        # Precondition: H*NL < 2^31, i.e. scores < 2^22 at NL=512 —
+        # scores are bounded by h0 + qlen*a <= ~2*511*a, so this holds
+        # for any sane match bonus (a < 4000).
+        # h_open: H at lane end_i-1 (exactly one nonzero lane, H >= 0:
+        # a max tree equals the select).
+        # first_nz/last_nz: adaptive band trim on the updated arrays.
+        # Upstream scans [beg_n, end_i] for the last nonzero, but
+        # lanes in [beg_i, beg_n) are zero by beg_n's definition, so
+        # scanning [beg_i, end_i] finds the same lane — and the trim
+        # reductions lose their sequential dependency.
+        sh_nl = NL.bit_length() - 1
+        nz = (eh_h != _c(0)) | (eh_e != _c(0))
+        pk_in = jnp.where(in_band, H * _c(NL) + lane, _c(NEG))
+        ho_in = jnp.where(lane == end_i - _c(1), H, _c(0))
+        fn_in = jnp.where(in_band & nz, lane, _c(NL + 2))
+        ln_in = jnp.where((in_band | (lane == end_i)) & nz, lane,
+                          _c(NEG))
+        if "trees" in ablate:     # timing-only floor variant
+            pk = pk_in[:, 0:1]
+            h_open = ho_in[:, 0:1]
+            first_nz = fn_in[:, 0:1]
+            last_nz = ln_in[:, 0:1]
+        else:
+            pk, h_open, first_nz, last_nz = _reduce4(
+                trees, pk_in, ho_in, fn_in, ln_in)
+        m = jnp.maximum(jax.lax.shift_right_arithmetic(pk, _c(sh_nl)),
+                        _c(0))
+        # pk == NEG (empty band) leaves mj garbage; every consumer is
+        # gated on m > 0, which forces a valid pk
+        mj = pk & _c(NL - 1)
         h_last = jnp.where(closed, h1_first, h_open).astype(I32)
         at_qend = act & (end_i == qlen) & (h_last >= gscore)
         max_ie = jnp.where(at_qend, i, max_ie)
@@ -216,18 +265,7 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
                 (alive & jnp.logical_not(better) & zd).astype(I32))
         best = jnp.where(better, m, best)
         max_i, max_j = max_i_n, max_j_n
-        # adaptive band trim on the updated arrays
-        nz = (eh_h != _c(0)) | (eh_e != _c(0))
-        in_sc = (lane >= beg_i) & (lane < end_i)
-        first_nz = _tree_red(jnp.where(in_sc & nz, lane, _c(NL + 2)),
-                             jnp.minimum)
         beg_n = jnp.minimum(first_nz, end_i)
-        # upstream scans [beg_n, end_i] for the last nonzero, but lanes
-        # in [beg_i, beg_n) are zero by beg_n's definition, so scanning
-        # [beg_i, end_i] finds the same lane — and the two tree
-        # reductions lose their sequential dependency
-        last_nz = _tree_red(jnp.where((in_sc | (lane == end_i)) & nz,
-                                      lane, _c(NEG)), jnp.maximum)
         j_dn = jnp.where(last_nz == _c(NEG), beg_n - _c(1), last_nz)
         end_n = jnp.minimum(j_dn + 2, qlen)
         beg = jnp.where(alive, beg_n, beg)
@@ -255,22 +293,32 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
 @functools.partial(
     jax.jit,
     static_argnames=("a", "b", "o_del", "e_del", "o_ins", "e_ins",
-                     "zdrop", "tmax", "interpret"))
+                     "zdrop", "tmax", "interpret", "trees", "ablate"))
 def extend_batch_pallas(q, t, params, a, b, o_del, e_del, o_ins, e_ins,
-                        zdrop, tmax, interpret=False):
+                        zdrop, tmax, interpret=False, trees=None,
+                        ablate=()):
     """One grid-free kernel launch over a padded job chunk.
 
     q: int32 [N, LANES]; t: int32 [N, tmax]; params: int32 [N, 128]
     (lanes 0..4 = qlen, tlen, h0, w, end_bonus).  Returns int32
     [N, 128] (lanes 0..5 = score, qle, tle, gtle, gscore, max_off).
 
+    trees: 'split'|'stacked' row-reduction layout (bit-identical; see
+    _reduce4).  None resolves TPUBWA_KERNEL_TREES once per trace via
+    the static default below.  ablate: timing-only kernel variants for
+    scripts/exp_kernel_floor.py — NEVER set in production (output is
+    semantically wrong).
+
     NOTE: a while_loop inside a GRIDDED pallas kernel crashes this
     Mosaic toolchain; we launch grid-free over whole VMEM-resident
     chunks instead and chunk on the host (see extend_batch_pallas_np).
     """
+    if trees is None:
+        trees = TREES_DEFAULT
     kernel = functools.partial(
         _extend_kernel, a=a, b=b, o_del=o_del, e_del=e_del, o_ins=o_ins,
-        e_ins=e_ins, zdrop=zdrop, tmax=tmax)
+        e_ins=e_ins, zdrop=zdrop, tmax=tmax, trees=trees,
+        ablate=tuple(ablate))
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
