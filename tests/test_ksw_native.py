@@ -70,6 +70,31 @@ def test_global_matches(both):
         assert got == want
 
 
+def test_global_matches_varied_gaps(both):
+    """The AVX-512 global_forward_simd (round-5) vectorizes the
+    banded global DP — fuzz the direction-matrix bit-identity across
+    gap-parameter space, lane boundaries (GVL=16 edges), long
+    patch-shaped jobs, and tight bands (w just covering |ql-tl|)."""
+    opt = MemOpt()
+    mat = opt.scoring_matrix()
+    rng = np.random.default_rng(9)
+    for it in range(250):
+        if it < 40:   # pin lane-boundary qlens
+            ql = (15, 16, 17, 31, 32, 33, 63, 64, 65, 100)[it % 10]
+        else:
+            ql = int(rng.integers(1, 300))
+        tl = max(1, ql + int(rng.integers(-30, 31)))
+        q, t = _seqs(rng, ql, tl, echo=0.7)
+        od, ed = int(rng.integers(1, 10)), int(rng.integers(1, 7))
+        oi, ei = int(rng.integers(1, 10)), int(rng.integers(1, 7))
+        # tight AND generous bands; always covering |ql - tl|
+        w = abs(ql - tl) + (1 if it % 3 == 0
+                            else int(rng.integers(1, 120)))
+        got = K.ksw_global(ql, q, tl, t, mat, od, ed, oi, ei, w)
+        want = _py(K.ksw_global, ql, q, tl, t, mat, od, ed, oi, ei, w)
+        assert got == want, (ql, tl, od, ed, oi, ei, w)
+
+
 def test_align_matches(both):
     opt = MemOpt()
     mat = opt.scoring_matrix()

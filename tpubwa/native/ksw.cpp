@@ -35,6 +35,153 @@ void push_cigar(int32_t* cig, int32_t cap, int32_t* n, int32_t op,
     }
 }
 
+#if defined(__AVX512F__)
+// ---- vectorized global-DP forward pass (ksw.c:ksw_global2:~420).
+// The row recurrence's two serial chains — h1 (previous column's H)
+// and f (the running gap-open max) — both vectorize: h1 is just the
+// H vector shifted one lane (the shifted eh_h storage already
+// encodes it), and f is an exclusive prefix max in the biased space
+// w_k = mm_k - oe_ins + k*e_ins, seeded with MINUS_INF + beg*e_ins
+// so the scalar loop's decaying never-opened f (MINUS_INF minus
+// (j-beg)*e_ins) is reproduced EXACTLY — every direction bit of the
+// traceback matrix z is arithmetically identical to the scalar
+// loop's.  Same lazy-F-free scheme as local_forward_simd; ~VL
+// cells per cycle group instead of 1.
+
+constexpr int GVL = 16;
+
+inline __m512i gprefix_max_epi32(__m512i v, __m512i ninf) {
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 16 - 1));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 16 - 2));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 16 - 4));
+    v = _mm512_max_epi32(v, _mm512_alignr_epi32(v, ninf, 16 - 8));
+    return v;
+}
+
+// fills z (when want_cigar) and *score_out; caller guarantees
+// qlen > 0, tlen > 0, e_ins > 0, e_del > 0 and band reach
+// (tlen + w >= qlen: the last row's band touches column qlen, so the
+// double-buffered H rows never need cells older than one row).
+void global_forward_simd(int32_t qlen, const uint8_t* query,
+                         int32_t tlen, const uint8_t* target,
+                         int32_t m, const int32_t* mat, int32_t o_del,
+                         int32_t e_del, int32_t o_ins, int32_t e_ins,
+                         int32_t w, int32_t want_cigar, uint8_t* z,
+                         int64_t n_col, int32_t* score_out) {
+    const int32_t oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+    const int32_t NB = (qlen + GVL - 1) / GVL;
+    const int32_t Q = NB * GVL;
+    // per-symbol query profiles (row i loads prof[target[i]]
+    // contiguously: the mat[...][query[j]] gather becomes one load)
+    std::vector<int32_t> prof((size_t)m * Q, 0);
+    for (int32_t c = 0; c < m; ++c)
+        for (int32_t j = 0; j < qlen; ++j)
+            prof[(size_t)c * Q + j] = mat[c * m + (int32_t)query[j]];
+    // shifted-H double buffer: Hprev[j] = H(i-1, j-1); row i's reads
+    // are covered by row i-1's writes (band moves <= 1 per row)
+    std::vector<int32_t> Hb0(Q + GVL, MINUS_INF),
+        Hb1(Q + GVL, MINUS_INF), Ebuf(Q + GVL, MINUS_INF);
+    int32_t* Hprev = Hb0.data();
+    int32_t* Hnext = Hb1.data();
+    Hprev[0] = 0;
+    for (int32_t j = 1; j <= imin(qlen, w); ++j)
+        Hprev[j] = -(o_ins + e_ins * j);
+    const __m512i ninf = _mm512_set1_epi32(MINUS_INF);
+    const __m512i lane = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8,
+                                           9, 10, 11, 12, 13, 14, 15);
+    const __m512i vei = _mm512_set1_epi32(e_ins);
+    const __m512i lane_ei = _mm512_mullo_epi32(lane, vei);
+    const __m512i ved = _mm512_set1_epi32(e_del);
+    const __m512i voed = _mm512_set1_epi32(oe_del);
+    const __m512i voei = _mm512_set1_epi32(oe_ins);
+    const __m512i v1 = _mm512_set1_epi32(1);
+    const __m512i v2 = _mm512_set1_epi32(2);
+    const __m512i v4 = _mm512_set1_epi32(4);
+    const __m512i v32 = _mm512_set1_epi32(0x20);
+    const __m512i idx15 = _mm512_set1_epi32(15);
+    for (int32_t i = 0; i < tlen; ++i) {
+        const int32_t beg = imax(i - w, 0);
+        const int32_t end = imin(i + w + 1, qlen);
+        const int32_t* pc = prof.data() + (size_t)target[i] * Q;
+        uint8_t* zi = want_cigar ? z + (size_t)i * n_col : nullptr;
+        Hnext[beg] = beg == 0 ? -(o_del + e_del * (i + 1)) : MINUS_INF;
+        if (beg < end) {
+            const int32_t b0 = beg / GVL, b1 = (end + GVL - 1) / GVL;
+            // f carry in w-space: f_beg == MINUS_INF exactly, and the
+            // never-opened decay MINUS_INF - (j-beg)*e_ins follows
+            __m512i carry = _mm512_set1_epi32(MINUS_INF + beg * e_ins);
+            __m512i jb = _mm512_set1_epi32(b0 * GVL * e_ins);
+            const __m512i jbstep = _mm512_set1_epi32(GVL * e_ins);
+            for (int32_t b = b0; b < b1; ++b) {
+                const int32_t j0 = b * GVL;
+                // band mask: beg <= j < end
+                __mmask16 bm = 0xFFFFu;
+                if (j0 < beg)
+                    bm &= (__mmask16)(0xFFFFu << (beg - j0));
+                if (j0 + GVL > end)
+                    bm &= (__mmask16)(0xFFFFu >> (j0 + GVL - end));
+                __m512i diag = _mm512_loadu_si512(
+                    (const void*)(Hprev + j0));
+                __m512i pv = _mm512_loadu_si512((const void*)(pc + j0));
+                __m512i mm = _mm512_add_epi32(diag, pv);
+                __m512i E = _mm512_loadu_si512(
+                    (const void*)(Ebuf.data() + j0));
+                // d = mm >= e ? 0 : 1
+                __mmask16 lt01 = _mm512_cmplt_epi32_mask(mm, E);
+                __m512i he = _mm512_max_epi32(mm, E);
+                // f via exclusive prefix max in the biased space
+                // w_k = mm_k - oe_ins + (k+1)*e_ins: an open at
+                // column k starts decaying at column k+1, so the
+                // bias carries the +1 (same as local_forward's
+                // vbias0)
+                __m512i wv = _mm512_mask_mov_epi32(
+                    ninf, bm,
+                    _mm512_add_epi32(
+                        _mm512_sub_epi32(mm, voei),
+                        _mm512_add_epi32(_mm512_add_epi32(lane_ei,
+                                                          vei), jb)));
+                __m512i p = gprefix_max_epi32(wv, ninf);
+                __m512i pex = _mm512_alignr_epi32(p, ninf, 15);
+                __m512i u = _mm512_max_epi32(carry, pex);
+                __m512i f = _mm512_sub_epi32(
+                    u, _mm512_add_epi32(lane_ei, jb));
+                // d = he >= f ? d : 2 ; h = max(he, f)
+                __mmask16 ltf = _mm512_cmplt_epi32_mask(he, f);
+                __m512i h = _mm512_max_epi32(he, f);
+                // E' = max(e - e_del, mm - oe_del); bit2 iff e-ed wins
+                __m512i ed = _mm512_sub_epi32(E, ved);
+                __m512i td = _mm512_sub_epi32(mm, voed);
+                __mmask16 b2 = _mm512_cmpgt_epi32_mask(ed, td);
+                _mm512_mask_storeu_epi32(
+                    (void*)(Ebuf.data() + j0), bm,
+                    _mm512_max_epi32(ed, td));
+                // bit4 iff (f - e_ins) > (mm - oe_ins)
+                __mmask16 b4 = _mm512_cmpgt_epi32_mask(
+                    _mm512_sub_epi32(f, vei),
+                    _mm512_sub_epi32(mm, voei));
+                // shifted H store: Hnext[j + 1] = h_j
+                _mm512_mask_storeu_epi32((void*)(Hnext + j0 + 1), bm,
+                                         h);
+                if (want_cigar) {
+                    __m512i d = _mm512_maskz_mov_epi32(lt01, v1);
+                    d = _mm512_mask_mov_epi32(d, ltf, v2);
+                    d = _mm512_mask_or_epi32(d, b2, d, v4);
+                    d = _mm512_mask_or_epi32(d, b4, d, v32);
+                    _mm512_mask_cvtepi32_storeu_epi8(
+                        (void*)(zi + (int64_t)j0 - beg), bm, d);
+                }
+                carry = _mm512_max_epi32(
+                    carry, _mm512_permutexvar_epi32(idx15, p));
+                jb = _mm512_add_epi32(jb, jbstep);
+            }
+        }
+        Ebuf[end] = MINUS_INF;
+        int32_t* t = Hprev; Hprev = Hnext; Hnext = t;
+    }
+    *score_out = Hprev[qlen];
+}
+#endif  // __AVX512F__
+
 }  // namespace
 
 extern "C" {
@@ -66,41 +213,63 @@ int tpubwa_ksw_global(int32_t qlen, const uint8_t* query, int32_t tlen,
     const int64_t n_col = imin(qlen, 2 * w + 1);
     std::vector<uint8_t> z;
     if (want_cigar) z.resize((size_t)tlen * n_col);
-    std::vector<int32_t> eh_h(qlen + 1, MINUS_INF),
-        eh_e(qlen + 1, MINUS_INF);
-    eh_h[0] = 0;
-    for (int32_t j = 1; j <= imin(qlen, w); ++j)
-        eh_h[j] = -(o_ins + e_ins * j);
-    for (int32_t i = 0; i < tlen; ++i) {
-        int32_t f = MINUS_INF;
-        const int32_t beg = imax(i - w, 0);
-        const int32_t end = imin(i + w + 1, qlen);
-        int32_t h1 = beg == 0 ? -(o_del + e_del * (i + 1)) : MINUS_INF;
-        const int32_t* q = mat + (int32_t)target[i] * m;
-        uint8_t* zi = want_cigar ? z.data() + (size_t)i * n_col : nullptr;
-        for (int32_t j = beg; j < end; ++j) {
-            int32_t mm = eh_h[j];
-            int32_t e = eh_e[j];
-            eh_h[j] = h1;
-            mm += q[query[j]];
-            uint8_t d = mm >= e ? 0 : 1;
-            int32_t h = mm >= e ? mm : e;
-            d = h >= f ? d : 2;
-            h = h >= f ? h : f;
-            h1 = h;
-            int32_t t = mm - oe_del;
-            e -= e_del;
-            if (e > t) d |= 1 << 2; else e = t;
-            eh_e[j] = e;
-            t = mm - oe_ins;
-            f -= e_ins;
-            if (f > t) d |= 2 << 4; else f = t;
-            if (want_cigar) zi[j - beg] = d;
-        }
-        eh_h[end] = h1;
-        eh_e[end] = MINUS_INF;
+    bool done = false;
+#if defined(__AVX512F__)
+    // TPUBWA_KSW_SCALAR=1 forces the scalar path (A/B + fuzz harness)
+    static const bool g_force_scalar = [] {
+        const char* e = getenv("TPUBWA_KSW_SCALAR");
+        return e && *e && *e != '0';
+    }();
+    // band-reach condition (tlen + w >= qlen): the SIMD pass
+    // double-buffers H rows, so the final score cell must be written
+    // by the LAST row's band (always true for bwa_gen_cigar2's band)
+    if (!g_force_scalar && e_ins > 0 && e_del > 0 && w >= 0
+            && tlen + w >= qlen && qlen >= GVL) {
+        global_forward_simd(qlen, query, tlen, target, m, mat, o_del,
+                            e_del, o_ins, e_ins, w, want_cigar,
+                            z.data(), n_col, score_out);
+        done = true;
     }
-    *score_out = eh_h[qlen];
+#endif
+    if (!done) {
+        std::vector<int32_t> eh_h(qlen + 1, MINUS_INF),
+            eh_e(qlen + 1, MINUS_INF);
+        eh_h[0] = 0;
+        for (int32_t j = 1; j <= imin(qlen, w); ++j)
+            eh_h[j] = -(o_ins + e_ins * j);
+        for (int32_t i = 0; i < tlen; ++i) {
+            int32_t f = MINUS_INF;
+            const int32_t beg = imax(i - w, 0);
+            const int32_t end = imin(i + w + 1, qlen);
+            int32_t h1 = beg == 0 ? -(o_del + e_del * (i + 1))
+                                  : MINUS_INF;
+            const int32_t* q = mat + (int32_t)target[i] * m;
+            uint8_t* zi = want_cigar ? z.data() + (size_t)i * n_col
+                                     : nullptr;
+            for (int32_t j = beg; j < end; ++j) {
+                int32_t mm = eh_h[j];
+                int32_t e = eh_e[j];
+                eh_h[j] = h1;
+                mm += q[query[j]];
+                uint8_t d = mm >= e ? 0 : 1;
+                int32_t h = mm >= e ? mm : e;
+                d = h >= f ? d : 2;
+                h = h >= f ? h : f;
+                h1 = h;
+                int32_t t = mm - oe_del;
+                e -= e_del;
+                if (e > t) d |= 1 << 2; else e = t;
+                eh_e[j] = e;
+                t = mm - oe_ins;
+                f -= e_ins;
+                if (f > t) d |= 2 << 4; else f = t;
+                if (want_cigar) zi[j - beg] = d;
+            }
+            eh_h[end] = h1;
+            eh_e[end] = MINUS_INF;
+        }
+        *score_out = eh_h[qlen];
+    }
     if (want_cigar) {
         // traceback (reversed run-length pushes, flipped at the end)
         std::vector<int32_t> rev((size_t)(qlen + tlen + 2) * 2);
