@@ -95,7 +95,7 @@ def kernel_gcups(log, reps=16):
 
 
 def measure_row(log, genome_mb, realistic, n_pairs_batch, n_batches=3,
-                repeats=3):
+                repeats=3, on_attempt=None):
     """One bench row: load cached index, warm the device programs on
     the measured shapes, then time `repeats` full pipeline passes.
     Returns (median_reads_per_s, attempts list) or None if the index
@@ -177,6 +177,11 @@ def measure_row(log, genome_mb, realistic, n_pairs_batch, n_batches=3,
             f"({attempts[-1]:.0f} reads/s), {n_lines} records | "
             f"link_rtt {rtt:.1f}ms, emit-cpu {emit_cpu:.2f}s, "
             f"waves {aligner.extender.n_waves - w0}")
+        if on_attempt is not None:
+            # crash insurance: a wall-kill mid-row must not lose the
+            # attempts already measured (round-4 lesson: the GRCh38
+            # row is the budget-critical one)
+            on_attempt(list(attempts))
     del aligner
     import gc
     gc.collect()   # release the row's HBM (the 3.1 Gbp index is ~10 GB
