@@ -202,14 +202,25 @@ def run_all(log):
     except Exception as e:  # pragma: no cover
         log(f"[bench] GCUPS microbench failed ({e}); continuing")
         out["gcups"] = 0.0
+    def attempt_cb(name):
+        def cb(attempts):
+            v = sorted(attempts)
+            med = v[len(v) // 2] if len(v) % 2 else \
+                0.5 * (v[len(v) // 2 - 1] + v[len(v) // 2])
+            out["rows"][name] = (med, attempts)
+            _emit_partial(out)
+        return cb
+
     # FAST row first: a wall-kill or a wedged GRCh38 attempt can then
     # never zero the headline (round-3 lesson: the 3.1 Gbp row ran
     # first, its index load blew the inner timeout, zero rows emitted).
-    r = measure_row(log, 64, True, n_pairs_batch=8192)
+    r = measure_row(log, 64, True, n_pairs_batch=8192,
+                    on_attempt=attempt_cb("64mb-realistic"))
     if r:
         out["rows"]["64mb-realistic"] = r
         _emit_partial(out)
-    r = measure_row(log, 64, False, n_pairs_batch=8192)
+    r = measure_row(log, 64, False, n_pairs_batch=8192,
+                    on_attempt=attempt_cb("64mb-uniform"))
     if r:
         out["rows"]["64mb-uniform"] = r
         _emit_partial(out)
@@ -221,7 +232,8 @@ def run_all(log):
     left = INNER_BUDGET_S - (time.time() - t_start)
     if left > 500:
         r = measure_row(log, 3100, True, n_pairs_batch=4096,
-                        n_batches=2)
+                        n_batches=2,
+                        on_attempt=attempt_cb("grch38-realistic"))
         if r:
             out["rows"]["grch38-realistic"] = r
             _emit_partial(out)

@@ -33,7 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def time_variant(label, trees, ablate, reps, log):
+def make_variant(trees, ablate, reps):
+    """Build + compile one variant's chained-reps timer fn."""
     import jax
     import jax.numpy as jnp
     from tpubwa.device.extend_pallas import extend_batch_pallas
@@ -62,18 +63,34 @@ def time_variant(label, trees, ablate, reps, log):
     qj, tj, pj = (jnp.asarray(x) for x in (q, t, p))
     np.asarray(chain(qj, tj, pj, 1))
     np.asarray(chain(qj, tj, pj, reps))
-    best = None
-    for _ in range(3):
+
+    def measure():
         t0 = time.perf_counter()
         np.asarray(chain(qj, tj, pj, 1))
         t1 = time.perf_counter()
         np.asarray(chain(qj, tj, pj, reps))
         t2 = time.perf_counter()
-        dt = max(((t2 - t1) - (t1 - t0)) / (reps - 1), 1e-9)
-        best = dt if best is None else min(best, dt)
-    gcups = N * QL * TL / best / 1e9
-    log(f"[floor] {label:16s}: {best * 1e3:.3f} ms/launch "
-        f"({gcups:.1f} GCUPS)")
+        return max(((t2 - t1) - (t1 - t0)) / (reps - 1), 1e-9)
+    return measure
+
+
+def time_variants(specs, reps, passes, log):
+    """Compile every variant, then interleave `passes` timing passes
+    round-robin so chip/link drift hits all variants equally; report
+    per-variant min."""
+    timers = [(label, make_variant(trees, ablate, reps))
+              for label, trees, ablate in specs]
+    best = {label: None for label, _ in timers}
+    for _ in range(passes):
+        for label, fn in timers:
+            dt = fn()
+            if best[label] is None or dt < best[label]:
+                best[label] = dt
+    N, QL, TL = 512, 100, 200
+    for label, _ in timers:
+        dt = best[label]
+        log(f"[floor] {label:20s}: {dt * 1e3:.3f} ms/launch "
+            f"({N * QL * TL / dt / 1e9:.1f} GCUPS)")
     return best
 
 
@@ -90,23 +107,32 @@ def main():
     import tpubwa.device  # noqa: F401
     from tpubwa.utils import enable_compilation_cache
     enable_compilation_cache()
-    t_full = time_variant("full/split", "split", (), args.reps, log)
-    t_stk = time_variant("full/stacked", "stacked", (), args.reps, log)
-    t_ns = time_variant("-scan", "split", ("scan",), args.reps, log)
-    t_nt = time_variant("-trees", "split", ("trees",), args.reps, log)
-    t_ew = time_variant("-scan-trees (floor)", "split",
-                        ("scan", "trees"), args.reps, log)
+    # CAVEAT on ablated variants: -pk/-trim/-trees replace reduction
+    # results with lane-0 junk, which corrupts zdrop/band state and
+    # truncates the row loop — their absolute times are NOT valid
+    # marginals (measured: -trees "runs" in 0.2 ms because it dies
+    # after ~2 rows).  Only -scan and -hopen keep the loop length
+    # (their substitutes never kill lanes on the perfect-match
+    # corpus).  The real, bit-identical variants (stacked / mxu /
+    # scanred / mxuscan) are the trustworthy comparisons.
+    best = time_variants([
+        ("full/split", "split", ()),
+        ("full/stacked", "stacked", ()),
+        ("full/mxu-hopen", "mxu", ()),
+        ("full/scanred", "scanred", ()),
+        ("full/mxuscan", "mxuscan", ()),
+        ("-scan", "split", ("scan",)),
+        ("-hopen", "split", ("hopen",)),
+    ], args.reps, 4, log)
+    t_full = best["full/split"]
     log("")
-    # t_full = scan_delta + trees_delta + floor + unattributed
-    scan_d, trees_d = t_full - t_ns, t_full - t_nt
-    unattr = t_full - scan_d - trees_d - t_ew
-    log(f"[floor] attribution of {t_full * 1e3:.3f} ms: "
-        f"prefix scan {scan_d * 1e3:.3f} ms, "
-        f"4 trees {trees_d * 1e3:.3f} ms, "
-        f"element-wise floor {t_ew * 1e3:.3f} ms, "
-        f"unattributed {unattr * 1e3:+.3f} ms")
-    log(f"[floor] stacked-tree capture: {t_full * 1e3:.3f} -> "
-        f"{t_stk * 1e3:.3f} ms ({t_full / t_stk:.2f}x)")
+    log(f"[floor] scan marginal {(t_full - best['-scan']) * 1e3:+.3f}"
+        f" ms; hopen-tree marginal "
+        f"{(t_full - best['-hopen']) * 1e3:+.3f} ms")
+    for lab in ("full/stacked", "full/mxu-hopen", "full/scanred",
+                "full/mxuscan"):
+        log(f"[floor] {lab}: {t_full * 1e3:.3f} -> "
+            f"{best[lab] * 1e3:.3f} ms ({t_full / best[lab]:.2f}x)")
 
 
 if __name__ == "__main__":

@@ -113,6 +113,41 @@ def _reduce4(trees, pk_in, ho_in, fn_in, ln_in):
         stk = jnp.concatenate([pk_in, ho_in, -fn_in, ln_in], axis=0)
         r = _tree_red(stk, jnp.maximum)
         return (r[0:J], r[J:2 * J], -r[2 * J:3 * J], r[3 * J:4 * J])
+    if trees in ("mxuscan", "scanred"):
+        # reductions as inclusive prefix scans + STATIC last-lane
+        # slice (bit-identical: prefix max at lane NL-1 == row max).
+        # A scan costs one more op per step than a tree (the validity
+        # mask) but the floor experiment measured scans hiding in the
+        # schedule where trees did not — mode kept for A/B.
+        NLn = pk_in.shape[1]
+        pk = _prefix_max(pk_in)[:, NLn - 1:NLn]
+        fn = -_prefix_max(-fn_in)[:, NLn - 1:NLn]
+        ln = _prefix_max(ln_in)[:, NLn - 1:NLn]
+        if trees == "mxuscan":
+            ones = jnp.ones((NLn, 1), jnp.float32)
+            ho = jax.lax.dot_general(
+                ho_in.astype(jnp.float32), ones,
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32).astype(I32)
+        else:
+            ho = _prefix_max(ho_in)[:, NLn - 1:NLn]
+        return (pk, ho, fn, ln)
+    if trees == "mxu":
+        # h_open has EXACTLY one nonzero lane (lane end_i-1, H >= 0),
+        # so the max-tree equals a row SUM — computable as one f32
+        # MXU matvec with a ones vector.  Exact: H < 2^22 << 2^24
+        # (f32 mantissa), one addend per output (same argument as
+        # smem_fused._mxu_append).  Saves one of the four roll trees.
+        NLn = ho_in.shape[1]
+        ones = jnp.ones((NLn, 1), jnp.float32)
+        ho = jax.lax.dot_general(
+            ho_in.astype(jnp.float32), ones, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32).astype(I32)
+        return (_tree_red(pk_in, jnp.maximum), ho,
+                _tree_red(fn_in, jnp.minimum),
+                _tree_red(ln_in, jnp.maximum))
     return (_tree_red(pk_in, jnp.maximum),
             _tree_red(ho_in, jnp.maximum),
             _tree_red(fn_in, jnp.minimum),
@@ -236,6 +271,14 @@ def _extend_kernel(q_ref, t_ref, p_ref, out_ref, *, a, b, o_del, e_del,
         else:
             pk, h_open, first_nz, last_nz = _reduce4(
                 trees, pk_in, ho_in, fn_in, ln_in)
+            # single-tree ablations (timing-only marginals)
+            if "pk" in ablate:
+                pk = pk_in[:, 0:1]
+            if "hopen" in ablate:
+                h_open = ho_in[:, 0:1]
+            if "trim" in ablate:
+                first_nz = fn_in[:, 0:1]
+                last_nz = ln_in[:, 0:1]
         m = jnp.maximum(jax.lax.shift_right_arithmetic(pk, _c(sh_nl)),
                         _c(0))
         # pk == NEG (empty band) leaves mj garbage; every consumer is
