@@ -42,8 +42,13 @@ import os as _os
 CHUNK = int(_os.environ.get("TPUBWA_EXT_CHUNK", 512))
                      # jobs per grid-free kernel launch (VMEM-bound)
 # row-reduction layout default, resolved ONCE at import (a static jit
-# arg: pass trees= explicitly to A/B after import)
-TREES_DEFAULT = _os.environ.get("TPUBWA_KERNEL_TREES", "split")
+# arg: pass trees= explicitly to A/B after import).  'mxu' computes
+# h_open as an exact f32 MXU matvec instead of a 4th roll tree —
+# chip-gated bit-identical (TPUBWA_KERNEL_TREES=mxu
+# scripts/chip_extend_equality.py --n 1500: PASSED on v5e) and the
+# consistently-fastest variant in the round-5 interleaved floor runs
+# (scripts/exp_kernel_floor.py: 1.07x vs split)
+TREES_DEFAULT = _os.environ.get("TPUBWA_KERNEL_TREES", "mxu")
 
 
 def chunk_for(width: int) -> int:
