@@ -123,6 +123,12 @@ def process_seqs(opt: MemOpt, fmi: FMIndex, reads: Sequence[Read],
     return out
 
 
+# process-wide sticky align-ahead decision (see process_batches):
+# a measured "overlap wins here" carries across calls so later bench
+# reps / CLI batches don't re-pay the serial probe
+_OVERLAP_STICKY = [False]
+
+
 def process_batches(opt: MemOpt, fmi: FMIndex, batch_iter,
                     n_processed0: int = 0,
                     mat: Optional[np.ndarray] = None, rg_id: str = "",
@@ -143,7 +149,15 @@ def process_batches(opt: MemOpt, fmi: FMIndex, batch_iter,
     BLOCKED on device syncs that emit can hide under.  Policy: start
     serial, measure both walls, and flip overlap on (sticky) once
     emit_wall >= 0.3 * align_wall.  TPUBWA_BATCH_OVERLAP=1/0 forces;
-    multi-core hosts keep the overlap unconditionally."""
+    multi-core hosts keep the overlap unconditionally.
+
+    The flip is sticky PROCESS-WIDE (round-5): bench/profile reps
+    call process_batches once per rep with ~3 batches, and a per-call
+    flip left every rep's first two batches serial — the measured
+    wall was fully serial (3,272 reads/s with the stage sums adding
+    exactly to the wall).  One measured flip now carries to every
+    later call; output is identical either way, only scheduling
+    changes."""
     import os
     from concurrent.futures import ThreadPoolExecutor
     import time as _time
@@ -162,7 +176,7 @@ def process_batches(opt: MemOpt, fmi: FMIndex, batch_iter,
         overlap = not serial_pipeline()
         adaptive = False
     else:
-        overlap = not serial_pipeline()
+        overlap = (not serial_pipeline()) or _OVERLAP_STICKY[0]
         adaptive = not overlap
     n_processed = n_processed0
     with ThreadPoolExecutor(max_workers=1) as ex:
@@ -187,8 +201,10 @@ def process_batches(opt: MemOpt, fmi: FMIndex, batch_iter,
             t_emit = _time.perf_counter() - t0
             if adaptive and not overlap and t_emit >= 0.3 * t_align:
                 # emit is heavy enough to hide the next batch's device
-                # waits under; flip the lookahead on (sticky)
+                # waits under; flip the lookahead on (sticky for the
+                # whole process, not just this call)
                 overlap = True
+                _OVERLAP_STICKY[0] = True
                 log.info("[M::process_batches] overlap on "
                          "(emit %.2fs vs align %.2fs)", t_emit, t_align)
             n_processed += len(batch)
