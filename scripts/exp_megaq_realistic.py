@@ -94,6 +94,7 @@ def main():
     ap.add_argument("--reads", type=int, default=2048)
     ap.add_argument("--mb", type=int, default=64)
     ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--sweep-qb", action="store_true")
     ap.add_argument("--uniform", action="store_true")
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
@@ -144,6 +145,13 @@ def main():
             r = run_once(opt, didx, arr, lens, fmi,
                          f"RB_CAP={cap}", log)
         os.environ.pop("TPUBWA_RB_CAP", None)
+    if args.sweep_qb:
+        for qb in (256, 512, 1024):
+            os.environ["TPUBWA_QB_BUDGET"] = str(qb)
+            run_once(opt, didx, arr, lens, fmi,
+                     f"QB={qb} warmup", log)
+            run_once(opt, didx, arr, lens, fmi, f"QB={qb}", log)
+        os.environ.pop("TPUBWA_QB_BUDGET", None)
 
 
 if __name__ == "__main__":

@@ -476,7 +476,7 @@ def _fwd_phase_queue1(didx: DeviceIndex, q, lens, read, x0j, min_intv,
 def _bwd_phase_queue(didx: DeviceIndex, q, lens, read, nc, meta_x,
                      meta_m, snapA, min_intv, P: int, MAXC: int,
                      CAP: int, ML: int, min_seed_len: int,
-                     max_rounds_b: int):
+                     max_rounds_b: int, qb_budget: int = 0):
     """Backward passes (phase B) with a GLOBAL CALL QUEUE.
 
     The per-read sequential walk of `_bwd_phase` bounds rounds by the
@@ -524,7 +524,14 @@ def _bwd_phase_queue(didx: DeviceIndex, q, lens, read, nc, meta_x,
     mx_flat = meta_x.reshape(-1)
     mm_flat = meta_m.reshape(-1)
 
-    QB = min(ML, 2048)      # per-round append budget (matmul columns)
+    # per-round append budget (matmul columns).  The one-hot is
+    # [ML, QB] f32 built EVERY round; at QB=2048 that is 16 MB of
+    # VPU writes + a 2048-column HIGHEST-precision matmul per round
+    # for typically ~100 stores.  Rows ranked past QB are dropped to
+    # the (cheap, native) tail — a smaller budget trades rare extra
+    # tail jobs for every round's append cost.  qb_budget <= 0 keeps
+    # the legacy min(ML, 2048).
+    QB = min(ML, qb_budget if qb_budget > 0 else 2048)
 
     st0 = dict(
         qhead=jnp.zeros((), I32),
@@ -861,7 +868,7 @@ def _sa_from_rows(didx: DeviceIndex, rows, valid, max_occ: int,
                                    "max_occ",
                                    "min_seed_len", "split_len",
                                    "split_width", "max_rounds_f",
-                                   "max_rounds_b"))
+                                   "max_rounds_b", "qb_budget"))
 def smem_chunk_machine_q(didx: DeviceIndex, q: jnp.ndarray,
                          lens: jnp.ndarray, jobs: jnp.ndarray,
                          P: int, MAXC: int, CAPF: int,
@@ -869,7 +876,8 @@ def smem_chunk_machine_q(didx: DeviceIndex, q: jnp.ndarray,
                          min_seed_len: int, split_len: int,
                          split_width: int, max_rounds_f: int = 2048,
                          max_rounds_b: int = 1024, P2: int = 0,
-                         SCAPF: int = 0, max_occ: int = 500):
+                         SCAPF: int = 0, max_occ: int = 500,
+                         qb_budget: int = 0):
     """Two-round seeding machine with QUEUE-scheduled backward phases
     (see `_bwd_phase_queue`; forward phases and on-device round-2 job
     construction as `smem_chunk_machine`).  Round-2 jobs are built
@@ -907,7 +915,7 @@ def smem_chunk_machine_q(didx: DeviceIndex, q: jnp.ndarray,
                             outA["meta"][:, :, 0],
                             outA["meta"][:, :, 1], outA["snap"],
                             min_intv, P, MAXC, CAP1, ML,
-                            min_seed_len, max_rounds_b)
+                            min_seed_len, max_rounds_b, qb_budget)
     ovf1 = fovf1 | outB["ovf"]
     # slice off the _mxu_append headroom; rows past out_n1 are garbage
     # (masked by every consumer below via pos < out_n1)
@@ -949,7 +957,7 @@ def smem_chunk_machine_q(didx: DeviceIndex, q: jnp.ndarray,
                              outA2["meta"][:, :, 0],
                              outA2["meta"][:, :, 1], outA2["snap"],
                              mi2, Pr2, 1, CAP2, ML, min_seed_len,
-                             max_rounds_b)
+                             max_rounds_b, qb_budget)
     ovf2 = fovf2 | outB2["ovf"]
     out2 = outB2["out"][:CAP2]
     parts = [out1.reshape(-1), ovf1.astype(dt),
@@ -1232,13 +1240,15 @@ def dispatch_chunk_machine_q(didx, qd, ld, read, x0, min_intv,
                               MLX=int(MLX), P2=int(P2),
                               SCAPF=int(SCAPF), max_occ=int(max_occ))
         return buf, mpad, n, J2, CAPF, CAPF2, SCAPF, max_occ
+    import os as _os
+    qb = int(_os.environ.get("TPUBWA_QB_BUDGET", 0))
     buf = smem_chunk_machine_q(didx, qd, ld, put(jobs), P, MAXC,
                                CAPF, J2, CAPF2, int(MLX),
                                int(min_seed_len), int(split_len),
                                int(split_width),
                                max_rounds_b=int(max_rounds_b),
                                P2=int(P2), SCAPF=int(SCAPF),
-                               max_occ=int(max_occ))
+                               max_occ=int(max_occ), qb_budget=qb)
     return buf, mpad, n, J2, CAPF, CAPF2, SCAPF, max_occ
 
 
