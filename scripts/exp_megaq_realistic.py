@@ -95,6 +95,7 @@ def main():
     ap.add_argument("--mb", type=int, default=64)
     ap.add_argument("--sweep", action="store_true")
     ap.add_argument("--sweep-qb", action="store_true")
+    ap.add_argument("--sweep-p", action="store_true")
     ap.add_argument("--uniform", action="store_true")
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
@@ -145,6 +146,14 @@ def main():
             r = run_once(opt, didx, arr, lens, fmi,
                          f"RB_CAP={cap}", log)
         os.environ.pop("TPUBWA_RB_CAP", None)
+    if args.sweep_p:
+        for p in (8,):
+            os.environ["TPUBWA_STACK_P"] = str(p)
+            run_once(opt, didx, arr, lens, fmi,
+                     f"P={p} warmup", log)
+            run_once(opt, didx, arr, lens, fmi, f"P={p}", log)
+            run_once(opt, didx, arr, lens, fmi, f"P={p} rep1", log)
+        os.environ.pop("TPUBWA_STACK_P", None)
     if args.sweep_qb:
         for qb in (256, 512, 1024):
             os.environ["TPUBWA_QB_BUDGET"] = str(qb)

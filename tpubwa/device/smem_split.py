@@ -437,7 +437,16 @@ def _row_offsets(counts):
 def _stack_P(didx) -> int:
     # stack depth ~ #distinct interval sizes along one extension path
     # (grows with log4(genome)); keep a multiple of 8 (TPU shape fault
-    # otherwise, see PERF_NOTES.md)
+    # otherwise, see PERF_NOTES.md).  TPUBWA_STACK_P overrides: the
+    # bwd queue's per-round gather volume is ML x P, so a SMALLER P
+    # halves the dominant seeding cost while deep lanes overflow to
+    # the native tail (bit-identity preserved by the ovf protocol —
+    # the tail redo costs ~0.04 ms/read vs ~4 ms/round on the
+    # tunneled chip; round-5 sweep in scripts/exp_megaq_realistic.py)
+    import os
+    env = os.environ.get("TPUBWA_STACK_P")
+    if env:
+        return max(8, int(env))
     return 16 if didx.seq_len < (1 << 28) else 24
 
 
