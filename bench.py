@@ -112,6 +112,22 @@ def measure_row(log, genome_mb, realistic, n_pairs_batch, n_batches=3,
         log(f"[bench] no cached index {prefix}; skipping this row")
         return None
     fmi = bench_index(genome_mb, realistic=realistic, log=log)
+    if genome_mb > 256:
+        # the big-genome cache is mmap'd: after the 64 Mb rows evict
+        # it from page cache, the native seeder's random access pays
+        # major faults for most of reps 0-1 (dry run: 22.9/29.3/9.1 s
+        # walls for identical reads).  One strided touch (one read
+        # per 4 KB page) re-warms it at sequential-disk speed BEFORE
+        # the timers start.
+        t0 = time.time()
+        for a in (fmi.bwt_words, fmi.occ_ckpt, fmi.sa_sample,
+                  fmi.bnt.codes, fmi.sa_mark_rows, fmi.sa_marked):
+            if a is not None:
+                flat = a.reshape(-1)
+                step = max(1, 4096 // flat.dtype.itemsize)
+                np.asarray(flat[::step]).sum()
+        log(f"[bench] index page-cache warmed in "
+            f"{time.time() - t0:.1f}s")
     opt = MemOpt(flag=MEM_F_PE)
     rng = np.random.default_rng(1)
     from tpubwa.device.pipeline import make_device_aligner
@@ -132,7 +148,16 @@ def measure_row(log, genome_mb, realistic, n_pairs_batch, n_batches=3,
     # padded job count is shape-relevant)
     warm = simulate_pe(bnt, n_pairs_batch, 100, rng)
     t0 = time.time()
-    process_seqs(opt, fmi, warm, 0, align_fn=aligner)
+    # warmup through process_batches in TWO half batches so the
+    # adaptive align-ahead gets its serial probe HERE — the flip is
+    # process-sticky, so measured reps all run with the steady-state
+    # schedule instead of rep 0 re-paying the probe (round-5: rep 0
+    # measured 3,253 vs 4,064 steady on the realistic row)
+    half = len(warm) // 2
+    for _ in process_batches(opt, fmi,
+                             iter([warm[:half], warm[half:]]), 0,
+                             align_fn=aligner):
+        pass
     log(f"[bench] warmup batch (compiles): {time.time() - t0:.1f}s")
     def link_rtt():
         """Median-of-3 tiny dispatch+sync round trip, in ms — run
@@ -219,26 +244,34 @@ def run_all(log):
     if r:
         out["rows"]["64mb-realistic"] = r
         _emit_partial(out)
-    r = measure_row(log, 64, False, n_pairs_batch=8192,
-                    on_attempt=attempt_cb("64mb-uniform"))
-    if r:
-        out["rows"]["64mb-uniform"] = r
-        _emit_partial(out)
-    # GRCh38-scale headline attempt LAST, gated on remaining inner
-    # budget: the ~8 GB index upload through the tunneled chip alone
-    # costs ~10-15 min (measured round 3), so this row only completes
-    # under a generous driver budget — the partial-row machinery
-    # keeps the 64 Mb rows either way.
+    # GRCh38-scale headline SECOND (round-5): with the shm cache
+    # built at round start the whole row measures ~570 s (index mmap
+    # ~0 s + ~8 GB HBM upload + warmup ~7 min + 3 reps x ~10 s), so
+    # it fits the budget right after the fast insurance row; the
+    # uniform trend row is the one to sacrifice under pressure.
+    # Per-attempt persistence keeps partial results on a wall-kill.
     left = INNER_BUDGET_S - (time.time() - t_start)
-    if left > 500:
+    if left > 450:
+        # 4 attempts: the first rep after the 64 Mb rows consistently
+        # ramps (device-state drift; dry runs: 690 then 1210/1546 for
+        # identical reads), and a median-of-4 discounts it
         r = measure_row(log, 3100, True, n_pairs_batch=4096,
-                        n_batches=2,
+                        n_batches=2, repeats=4,
                         on_attempt=attempt_cb("grch38-realistic"))
         if r:
             out["rows"]["grch38-realistic"] = r
             _emit_partial(out)
     else:  # pragma: no cover
         log(f"[bench] skipping GRCh38 row ({left:.0f}s left)")
+    left = INNER_BUDGET_S - (time.time() - t_start)
+    if left > 300:
+        r = measure_row(log, 64, False, n_pairs_batch=8192,
+                        on_attempt=attempt_cb("64mb-uniform"))
+        if r:
+            out["rows"]["64mb-uniform"] = r
+            _emit_partial(out)
+    else:  # pragma: no cover
+        log(f"[bench] skipping uniform row ({left:.0f}s left)")
     log(f"[bench] elapsed {time.time() - t_start:.0f}s")
     return out
 
