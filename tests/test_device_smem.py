@@ -568,3 +568,38 @@ def test_megaq_stress_mixed_corpus(setup):
         gk = sorted((int(x[3]), int(x[4]), int(x[2]), int(x[0]),
                      int(x[1])) for x in got[i])
         assert gk == wk, f"read {i} kind {i % 5}"
+
+
+@pytest.mark.parametrize("env,val", [
+    ("TPUBWA_QB_BUDGET", "8"),      # tiny append budget: most rows
+    #                                 drop -> tail redo path
+    ("TPUBWA_STACK_P", "8"),        # shallow stack: deep lanes
+    #                                 overflow -> tail redo path
+])
+def test_megaq_knobs_stay_oracle_equal(setup, monkeypatch, env, val):
+    """Round-5 perf knobs must degrade through the overflow protocol,
+    never change results: a tiny QB drops most emissions per round
+    and P=8 overflows nearly every realistic lane, both landing on
+    the native/scalar tail — output must equal the oracle exactly."""
+    fmi, didx, codes, unit = setup
+    text = fmi.bnt.doubled()
+    rng = np.random.default_rng(11)
+    opt = MemOpt()
+    reads = []
+    for t in range(8):
+        start = int(rng.integers(0, len(codes) - 110))
+        q = text[start:start + 100].copy()
+        for _ in range(int(rng.integers(0, 6))):
+            q[int(rng.integers(0, 100))] = int(rng.integers(0, 5))
+        reads.append(q)
+    reads.append(np.tile(unit, 3)[:100].copy())
+    arr, lens = _pack_reads(reads, 100)
+    monkeypatch.setenv(env, val)
+    got = collect_intv_device(opt, didx, arr, lens, fmi=fmi,
+                              mode="megaq")
+    for i, r in enumerate(reads):
+        want = collect_intv(opt, fmi, r)
+        wk = sorted((m.qb, m.qe, m.size, m.x0, m.x1) for m in want)
+        gk = sorted((int(x[3]), int(x[4]), int(x[2]), int(x[0]),
+                     int(x[1])) for x in got[i])
+        assert gk == wk, f"read {i}"
