@@ -180,7 +180,135 @@ void global_forward_simd(int32_t qlen, const uint8_t* query,
     }
     *score_out = Hprev[qlen];
 }
-#endif  // __AVX512F__
+#elif defined(__AVX2__)
+// ---- AVX2 flavor of the vectorized global-DP forward pass: same
+// biased-prefix-F formulation as the AVX-512 version above (see that
+// comment block), 8 lanes, blendv masks instead of mask registers,
+// and the traceback bytes staged through a stack buffer (AVX2 has no
+// vpmovdb).  Exactness argument identical.
+
+constexpr int GVL = 8;
+
+inline __m256i g2_shiftl(__m256i v, int k, __m256i fill) {
+    alignas(32) int32_t tmp[16];
+    _mm256_store_si256((__m256i*)tmp, fill);
+    _mm256_store_si256((__m256i*)(tmp + 8), v);
+    return _mm256_loadu_si256((const __m256i*)(tmp + 8 - k));
+}
+
+inline __m256i g2_prefix_max(__m256i v, __m256i ninf) {
+    v = _mm256_max_epi32(v, g2_shiftl(v, 1, ninf));
+    v = _mm256_max_epi32(v, g2_shiftl(v, 2, ninf));
+    v = _mm256_max_epi32(v, g2_shiftl(v, 4, ninf));
+    return v;
+}
+
+void global_forward_simd(int32_t qlen, const uint8_t* query,
+                         int32_t tlen, const uint8_t* target,
+                         int32_t m, const int32_t* mat, int32_t o_del,
+                         int32_t e_del, int32_t o_ins, int32_t e_ins,
+                         int32_t w, int32_t want_cigar, uint8_t* z,
+                         int64_t n_col, int32_t* score_out) {
+    const int32_t oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+    const int32_t NB = (qlen + GVL - 1) / GVL;
+    const int32_t Q = NB * GVL;
+    std::vector<int32_t> prof((size_t)m * Q, 0);
+    for (int32_t c = 0; c < m; ++c)
+        for (int32_t j = 0; j < qlen; ++j)
+            prof[(size_t)c * Q + j] = mat[c * m + (int32_t)query[j]];
+    std::vector<int32_t> Hb0(Q + GVL, MINUS_INF),
+        Hb1(Q + GVL, MINUS_INF), Ebuf(Q + GVL, MINUS_INF);
+    int32_t* Hprev = Hb0.data();
+    int32_t* Hnext = Hb1.data();
+    Hprev[0] = 0;
+    for (int32_t j = 1; j <= imin(qlen, w); ++j)
+        Hprev[j] = -(o_ins + e_ins * j);
+    const __m256i ninf = _mm256_set1_epi32(MINUS_INF);
+    const __m256i lane = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+    const __m256i vei = _mm256_set1_epi32(e_ins);
+    const __m256i lane_ei = _mm256_mullo_epi32(lane, vei);
+    const __m256i ved = _mm256_set1_epi32(e_del);
+    const __m256i voed = _mm256_set1_epi32(oe_del);
+    const __m256i voei = _mm256_set1_epi32(oe_ins);
+    for (int32_t i = 0; i < tlen; ++i) {
+        const int32_t beg = imax(i - w, 0);
+        const int32_t end = imin(i + w + 1, qlen);
+        const int32_t* pc = prof.data() + (size_t)target[i] * Q;
+        uint8_t* zi = want_cigar ? z + (size_t)i * n_col : nullptr;
+        Hnext[beg] = beg == 0 ? -(o_del + e_del * (i + 1)) : MINUS_INF;
+        if (beg < end) {
+            const int32_t b0 = beg / GVL, b1 = (end + GVL - 1) / GVL;
+            __m256i carry = _mm256_set1_epi32(MINUS_INF + beg * e_ins);
+            __m256i jb = _mm256_set1_epi32(b0 * GVL * e_ins);
+            const __m256i jbstep = _mm256_set1_epi32(GVL * e_ins);
+            for (int32_t b = b0; b < b1; ++b) {
+                const int32_t j0 = b * GVL;
+                const __m256i jv = _mm256_add_epi32(
+                    _mm256_set1_epi32(j0), lane);
+                // band mask: beg <= j < end (all-ones where in band)
+                __m256i bm = _mm256_andnot_si256(
+                    _mm256_cmpgt_epi32(_mm256_set1_epi32(beg), jv),
+                    _mm256_cmpgt_epi32(_mm256_set1_epi32(end), jv));
+                __m256i diag = _mm256_loadu_si256(
+                    (const __m256i*)(Hprev + j0));
+                __m256i pv = _mm256_loadu_si256(
+                    (const __m256i*)(pc + j0));
+                __m256i mm = _mm256_add_epi32(diag, pv);
+                __m256i E = _mm256_loadu_si256(
+                    (const __m256i*)(Ebuf.data() + j0));
+                __m256i lt01 = _mm256_cmpgt_epi32(E, mm);  // mm < e
+                __m256i he = _mm256_max_epi32(mm, E);
+                __m256i wraw = _mm256_add_epi32(
+                    _mm256_sub_epi32(mm, voei),
+                    _mm256_add_epi32(_mm256_add_epi32(lane_ei, vei),
+                                     jb));
+                __m256i wv = _mm256_blendv_epi8(ninf, wraw, bm);
+                __m256i p = g2_prefix_max(wv, ninf);
+                __m256i pex = g2_shiftl(p, 1, ninf);
+                __m256i u = _mm256_max_epi32(carry, pex);
+                __m256i f = _mm256_sub_epi32(
+                    u, _mm256_add_epi32(lane_ei, jb));
+                __m256i ltf = _mm256_cmpgt_epi32(f, he);   // he < f
+                __m256i h = _mm256_max_epi32(he, f);
+                __m256i ed = _mm256_sub_epi32(E, ved);
+                __m256i td = _mm256_sub_epi32(mm, voed);
+                __m256i b2 = _mm256_cmpgt_epi32(ed, td);
+                _mm256_maskstore_epi32(Ebuf.data() + j0, bm,
+                                       _mm256_max_epi32(ed, td));
+                __m256i b4 = _mm256_cmpgt_epi32(
+                    _mm256_sub_epi32(f, vei),
+                    _mm256_sub_epi32(mm, voei));
+                _mm256_maskstore_epi32(Hnext + j0 + 1, bm, h);
+                if (want_cigar) {
+                    // d = (mm<e ? 1 : 0); he<f -> 2; |4 if b2; |32 b4
+                    __m256i d = _mm256_and_si256(
+                        lt01, _mm256_set1_epi32(1));
+                    d = _mm256_blendv_epi8(d, _mm256_set1_epi32(2),
+                                           ltf);
+                    d = _mm256_or_si256(d, _mm256_and_si256(
+                        b2, _mm256_set1_epi32(4)));
+                    d = _mm256_or_si256(d, _mm256_and_si256(
+                        b4, _mm256_set1_epi32(0x20)));
+                    alignas(32) int32_t dd[8];
+                    _mm256_store_si256((__m256i*)dd, d);
+                    const int32_t lo = imax(beg, j0);
+                    const int32_t hi = imin(end, j0 + GVL);
+                    for (int32_t j = lo; j < hi; ++j)
+                        zi[j - beg] = (uint8_t)dd[j - j0];
+                }
+                // carry = max(carry, lane-7 broadcast of p)
+                __m256i hi128 = _mm256_permute2x128_si256(p, p, 0x11);
+                carry = _mm256_max_epi32(
+                    carry, _mm256_shuffle_epi32(hi128, 0xFF));
+                jb = _mm256_add_epi32(jb, jbstep);
+            }
+        }
+        Ebuf[end] = MINUS_INF;
+        int32_t* t = Hprev; Hprev = Hnext; Hnext = t;
+    }
+    *score_out = Hprev[qlen];
+}
+#endif  // __AVX512F__ / __AVX2__
 
 }  // namespace
 
@@ -214,7 +342,7 @@ int tpubwa_ksw_global(int32_t qlen, const uint8_t* query, int32_t tlen,
     std::vector<uint8_t> z;
     if (want_cigar) z.resize((size_t)tlen * n_col);
     bool done = false;
-#if defined(__AVX512F__)
+#if defined(__AVX512F__) || defined(__AVX2__)
     // TPUBWA_KSW_SCALAR=1 forces the scalar path (A/B + fuzz harness)
     static const bool g_force_scalar = [] {
         const char* e = getenv("TPUBWA_KSW_SCALAR");
