@@ -222,13 +222,13 @@ def robust_median(attempts):
     (round-5 dry runs; link_rtt flat, emit-cpu flat — the collapse is
     device-side state, not our code).  Collapsed attempts are dropped
     before the median so one bad draw cannot halve the reported
-    number — but ONLY when they are a minority: if half or more of
-    the attempts collapsed, the plain median stands (a single fast
-    draw must not represent a mostly-slow run).  All raw attempts
-    are recorded alongside either way."""
+    number — but only while the surviving attempts are at least HALF
+    of the total: when most attempts collapsed, the plain median
+    stands (a single fast draw must not represent a mostly-slow
+    run).  All raw attempts are recorded alongside either way."""
     best = max(attempts)
     keep = sorted(a for a in attempts if a * 2.5 >= best)
-    if len(keep) * 2 <= len(attempts):
+    if len(keep) * 2 < len(attempts):
         keep = sorted(attempts)
     n = len(keep)
     return keep[n // 2] if n % 2 else \
